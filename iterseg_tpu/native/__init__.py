@@ -1,0 +1,113 @@
+"""Native (C++) runtime kernels, built lazily and loaded via ctypes.
+
+The priority-flood watershed is the one inherently sequential hot loop of
+the inference pipeline (a heap-ordered flood; see
+``ops/watershed_oracle.py`` for the semantics and the iterseg
+``watershed.py:95-159`` provenance).  It runs on host, overlapped with TPU
+compute, as an -O3 C++ kernel.
+
+The shared library is compiled on first use with the system ``g++`` and
+cached next to the sources; set ``ITERSEG_TPU_NO_NATIVE=1`` to force the
+pure-Python oracle fallback.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "priority_flood.cpp")
+_LIB = os.path.join(_HERE, "libiterseg_native.so")
+_LOCK = threading.Lock()
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build():
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-fno-exceptions",
+        "-fno-rtti",
+        _SRC,
+        "-o",
+        _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Build (if needed) and load the native library."""
+    global _lib
+    if os.environ.get("ITERSEG_TPU_NO_NATIVE"):
+        raise NativeUnavailable("native kernels disabled by env var")
+    with _LOCK:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            try:
+                _build()
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                raise NativeUnavailable(f"could not build native kernels: {e}")
+        lib = ctypes.CDLL(_LIB)
+        lib.priority_flood.restype = None
+        lib.priority_flood.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # values
+            ctypes.POINTER(ctypes.c_int64),   # offsets
+            ctypes.POINTER(ctypes.c_int64),   # val_chan
+            ctypes.POINTER(ctypes.c_int64),   # val_off
+            ctypes.c_int32,                   # n_nbr
+            ctypes.POINTER(ctypes.c_int64),   # markers
+            ctypes.c_int64,                   # n_markers
+            ctypes.POINTER(ctypes.c_float),   # seed_values
+            ctypes.POINTER(ctypes.c_uint8),   # mask
+            ctypes.POINTER(ctypes.c_int32),   # output
+            ctypes.c_int64,                   # n
+        ]
+        _lib = lib
+        return _lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def priority_flood(values, offsets, val_chan, val_off, markers, seed_values,
+                   mask, output):
+    """Run the native flood in place on ``output`` (raveled int32)."""
+    lib = get_lib()
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    val_chan = np.ascontiguousarray(val_chan, dtype=np.int64)
+    val_off = np.ascontiguousarray(val_off, dtype=np.int64)
+    markers = np.ascontiguousarray(markers, dtype=np.int64)
+    seed_values = np.ascontiguousarray(seed_values, dtype=np.float32)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    assert output.dtype == np.int32 and output.flags.c_contiguous
+    n = mask.size
+    lib.priority_flood(
+        _ptr(values, ctypes.c_float),
+        _ptr(offsets, ctypes.c_int64),
+        _ptr(val_chan, ctypes.c_int64),
+        _ptr(val_off, ctypes.c_int64),
+        ctypes.c_int32(len(offsets)),
+        _ptr(markers, ctypes.c_int64),
+        ctypes.c_int64(len(markers)),
+        _ptr(seed_values, ctypes.c_float),
+        _ptr(mask, ctypes.c_uint8),
+        _ptr(output, ctypes.c_int32),
+        ctypes.c_int64(n),
+    )
+    return output

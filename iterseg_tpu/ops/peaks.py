@@ -1,0 +1,99 @@
+"""Local-maximum peak detection with ``skimage.feature.peak_local_max`` parity.
+
+Used for watershed seeding (iterseg ``watershed.py:232-236``:
+``peak_local_max(smoothed, threshold_abs=.04)`` with default
+``min_distance=1`` / ``exclude_border=True``).
+
+Split TPU-first: the O(N) candidate mask (max-filter + compare + threshold)
+runs on device; the O(#peaks) ordering and minimum-spacing rejection runs on
+host in exact numpy (peak lists are tiny next to the volume).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filters import maximum_filter
+
+__all__ = ["peak_candidate_mask", "peak_local_max"]
+
+
+@functools.partial(jax.jit, static_argnames=("min_distance",))
+def peak_candidate_mask(image, threshold_abs, min_distance: int = 1):
+    """Device-side candidate mask: plateau-inclusive local maxima > threshold.
+
+    Mirrors skimage ``_get_peak_mask``: ``image == maximum_filter(image,
+    footprint=ones((2*min_distance+1,)*ndim), mode='nearest')`` AND
+    ``image > threshold_abs``.
+    """
+    x = jnp.asarray(image)
+    size = 2 * min_distance + 1
+    image_max = maximum_filter(x, size=size, mode="nearest")
+    return (x == image_max) & (x > threshold_abs)
+
+
+def _ensure_spacing(coords: np.ndarray, spacing: float) -> np.ndarray:
+    """Greedy Chebyshev-spacing rejection, identical to skimage
+    ``ensure_spacing`` with ``p_norm=inf``: iterate candidates in order,
+    accept a candidate and reject every other candidate within distance
+    <= spacing (inclusive)."""
+    n = len(coords)
+    accepted = np.ones(n, dtype=bool)
+    keep = []
+    for i in range(n):
+        if not accepted[i]:
+            continue
+        keep.append(i)
+        d = np.max(np.abs(coords - coords[i]), axis=1)
+        close = d <= spacing
+        close[i] = False
+        accepted[close] = False
+    return coords[keep]
+
+
+def peak_local_max(
+    image,
+    threshold_abs=None,
+    min_distance: int = 1,
+    exclude_border=True,
+):
+    """Peak coordinates, ordered and spaced exactly like skimage.
+
+    Returns an (n_peaks, ndim) int array. Candidates are local maxima of a
+    ``(2*min_distance+1)``-cube footprint above ``threshold_abs``; border
+    candidates within ``min_distance`` are excluded when ``exclude_border``;
+    candidates are sorted by intensity descending (stable, so raster order
+    breaks ties) and thinned so no two accepted peaks are within Chebyshev
+    distance ``min_distance`` of each other.
+    """
+    img_np = np.asarray(image)
+    if threshold_abs is None:
+        threshold_abs = img_np.min()
+    mask = np.array(
+        peak_candidate_mask(img_np, float(threshold_abs), min_distance)
+    )
+    if isinstance(exclude_border, bool):
+        border = (min_distance if exclude_border else 0,) * img_np.ndim
+    elif isinstance(exclude_border, int):
+        border = (exclude_border,) * img_np.ndim
+    else:
+        border = tuple(exclude_border)
+    for ax, b in enumerate(border):
+        if b == 0:
+            continue
+        sl = [slice(None)] * img_np.ndim
+        sl[ax] = slice(None, b)
+        mask[tuple(sl)] = False
+        sl[ax] = slice(-b, None)
+        mask[tuple(sl)] = False
+    coords = np.nonzero(mask)
+    intensities = img_np[coords]
+    idx_maxsort = np.argsort(-intensities, kind="stable")
+    coords = np.transpose(coords)[idx_maxsort]
+    if len(coords) == 0:
+        return np.empty((0, img_np.ndim), dtype=np.intp)
+    coords = _ensure_spacing(coords, spacing=min_distance)
+    return coords

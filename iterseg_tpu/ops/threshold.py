@@ -1,0 +1,65 @@
+"""Histogram thresholding (Otsu) with skimage parity.
+
+Re-derivation of ``skimage.filters.threshold_otsu`` (used via
+``_get_mask`` at iterseg ``watershed.py:226-229``): a 256-bin histogram over
+``[min, max]``, maximising the inter-class variance, returning the centre of
+the selected bin.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["threshold_otsu", "threshold_otsu_np"]
+
+
+def _otsu_from_counts(counts, bin_centers):
+    counts = counts.astype(jnp.float64) if counts.dtype != jnp.float32 else counts
+    counts = counts.astype(jnp.float32)
+    weight1 = jnp.cumsum(counts)
+    weight2 = jnp.cumsum(counts[::-1])[::-1]
+    mean1 = jnp.cumsum(counts * bin_centers) / weight1
+    mean2 = (jnp.cumsum((counts * bin_centers)[::-1]) / weight2[::-1])[::-1]
+    variance12 = weight1[:-1] * weight2[1:] * (mean1[:-1] - mean2[1:]) ** 2
+    idx = jnp.argmax(variance12)
+    return bin_centers[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def threshold_otsu(image, nbins: int = 256):
+    """Otsu threshold of a float image (device-side).
+
+    Matches ``skimage.filters.threshold_otsu``: histogram over the value
+    range with ``nbins`` equal bins, threshold = centre of the argmax bin of
+    the inter-class variance.
+    """
+    x = jnp.asarray(image).ravel().astype(jnp.float32)
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    width = (hi - lo) / nbins
+    # histogram: same binning as np.histogram(range=(lo, hi))
+    scaled = (x - lo) / jnp.where(width * nbins > 0, hi - lo, 1.0)
+    idx = jnp.clip((scaled * nbins).astype(jnp.int32), 0, nbins - 1)
+    counts = jnp.zeros((nbins,), jnp.float32).at[idx].add(1.0)
+    edges = lo + (hi - lo) * jnp.arange(nbins + 1, dtype=jnp.float32) / nbins
+    bin_centers = (edges[:-1] + edges[1:]) / 2.0
+    return _otsu_from_counts(counts, bin_centers)
+
+
+def threshold_otsu_np(image, nbins: int = 256):
+    """Numpy oracle with the exact skimage float path (for tests/host)."""
+    image = np.asarray(image)
+    counts, bin_edges = np.histogram(image.ravel(), nbins, range=(image.min(), image.max()))
+    bin_centers = (bin_edges[:-1] + bin_edges[1:]) / 2.0
+    counts = counts.astype(float)
+    weight1 = np.cumsum(counts)
+    weight2 = np.cumsum(counts[::-1])[::-1]
+    mean1 = np.cumsum(counts * bin_centers) / weight1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean2 = (np.cumsum((counts * bin_centers)[::-1]) / weight2[::-1])[::-1]
+    variance12 = weight1[:-1] * weight2[1:] * (mean1[:-1] - mean2[1:]) ** 2
+    idx = np.nanargmax(variance12)
+    return bin_centers[idx]

@@ -1,0 +1,38 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors the reference's fake-backend strategy gap (SURVEY.md §4): multi-chip
+sharding is tested on host CPU devices; TPU-only behaviour is exercised by
+bench.py / __graft_entry__.py on real hardware.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def synthetic_blobs(shape=(48, 48, 48), volume_fraction=0.35, sigma=4.0, seed=0):
+    """Dense random blob volume (stand-in for skimage.data.binary_blobs)."""
+    from scipy import ndimage as ndi
+
+    r = np.random.default_rng(seed)
+    noise = r.random(shape)
+    smooth = ndi.gaussian_filter(noise, sigma)
+    thresh = np.quantile(smooth, 1 - volume_fraction)
+    return smooth > thresh
+
+
+@pytest.fixture
+def blobs():
+    return synthetic_blobs()
