@@ -6,7 +6,8 @@ bench.py / __graft_entry__.py on real hardware.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the session may preset JAX_PLATFORMS to the TPU plugin
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
