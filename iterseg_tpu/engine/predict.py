@@ -1,0 +1,194 @@
+"""Chunked U-Net inference engine.
+
+TPU-first redesign of the reference predictor (iterseg ``predict.py``): the
+reference round-trips host↔device once per chunk inside a serial Python loop
+(``predict.py:81-96,120-123``); here all chunks of a frame are gathered into
+a batch and streamed through one jitted forward in microbatches, with
+dispatch/readback overlapped (JAX async dispatch + non-blocking gets), then
+margin-crop blended into the output feature volume.
+
+API parity: ``load_unet``, ``make_chunks`` (re-export),
+``predict_chunk_feature_map``, ``process_chunks`` (re-export), ``get_device``.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.chunks import make_chunks, chunk_slices, process_chunks  # noqa: F401 (API parity re-exports)
+from ..models import unet as unet_mod
+from ..models.convert import load_checkpoint, infer_spec_from_params
+
+__all__ = [
+    "DEFAULT_UNET_PATH",
+    "UNetModel",
+    "load_unet",
+    "predict_volume",
+    "predict_chunk_feature_map",
+    "get_device",
+    "make_chunks",
+    "process_chunks",
+]
+
+# The reference ships pretrained platelet weights at
+# data/232208_161159_plateseg.pt (predict.py:21); users drop an equivalent
+# converted checkpoint here (or pass an explicit path / .pt file).
+DEFAULT_UNET_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "data", "default_unet.npz"
+)
+
+
+class UNetModel:
+    """A loaded U-Net: (params, spec) + jitted batched forward."""
+
+    def __init__(self, params, spec=None, compute_dtype=jnp.float32):
+        self.params = params
+        self.spec = spec if spec is not None else infer_spec_from_params(params)
+        self.compute_dtype = compute_dtype
+
+    @property
+    def out_channels(self) -> int:
+        return self.spec.total_out
+
+    def __call__(self, x):
+        """NCZYX in, NCZYX out (numpy or jax arrays)."""
+        return unet_mod.apply(
+            self.params, self.spec, jnp.asarray(x),
+            compute_dtype=self.compute_dtype,
+        )
+
+
+def load_unet(u_state_fn=None, compute_dtype=jnp.float32) -> UNetModel:
+    """Load a U-Net checkpoint (.npz native or .pt torch)
+    (parity: iterseg ``predict.py:25-35``)."""
+    if u_state_fn is None:
+        u_state_fn = DEFAULT_UNET_PATH
+        if not os.path.exists(u_state_fn):
+            raise FileNotFoundError(
+                "No default U-Net checkpoint found at "
+                f"{os.path.abspath(u_state_fn)}. Pass an explicit .npz/.pt "
+                "path (the reference's pretrained platelet blob is not "
+                "shipped; train one with train_unet or convert a torch "
+                "checkpoint with models.convert)."
+            )
+    params = load_checkpoint(str(u_state_fn))
+    return UNetModel(params, compute_dtype=compute_dtype)
+
+
+def get_device():
+    """The accelerator the engine runs on (parity shim for
+    ``predict.py:130-135``; device placement is managed by JAX)."""
+    return jax.devices()[0]
+
+
+def _pick_batch_size(n_chunks: int, chunk_shape, out_channels: int) -> int:
+    """Heuristic microbatch size: bounded by a ~2 GB activation budget."""
+    voxels = int(np.prod(chunk_shape))
+    # dominant activation: 32 channels at full resolution, f32, x2 for
+    # encoder+decoder copies
+    bytes_per_item = voxels * 32 * 4 * 4
+    budget = 2 << 30
+    b = max(1, budget // max(bytes_per_item, 1))
+    return int(min(b, n_chunks, 8))
+
+
+def predict_volume(
+    model: UNetModel,
+    volume: np.ndarray,
+    chunk_size: Tuple[int, int, int] = (10, 256, 256),
+    margin: Tuple[int, int, int] = (1, 64, 64),
+    output_volume: Optional[np.ndarray] = None,
+    batch_size: Optional[int] = None,
+) -> np.ndarray:
+    """Run the U-Net over a zyx volume via the overlapping chunk grid.
+
+    Returns the (C, z, y, x) feature volume. Margin-crop blending matches
+    ``process_chunks`` (predict.py:64-96) exactly; the compute is batched
+    and asynchronous instead of per-chunk synchronous.
+    """
+    volume = np.asarray(volume, dtype=np.float32)
+    orig_zyx = volume.shape[-3:]
+    # The U-Net's pool/crop ladder admits only z even and y/x multiples of
+    # 16 (the 256→129→65→33→17 ladder inverted); pad undersized axes with
+    # edge values (cropped after) and clamp chunks to valid sizes. The
+    # reference crashes outright on such volumes.
+    mults = (2, 16, 16)
+    # pad any axis too small to fit one valid chunk
+    pads = []
+    for s, c, m in zip(orig_zyx, chunk_size, mults):
+        usable = min(c, s)
+        if usable >= m:
+            pads.append((0, 0))
+        else:
+            pads.append((0, m - s))
+    if any(p[1] for p in pads):
+        volume = np.pad(volume, [(0, 0)] * (volume.ndim - 3) + pads,
+                        mode="edge")
+    zyx = volume.shape[-3:]
+    chunk_size = tuple(
+        (min(int(c), int(s)) // m) * m
+        for c, s, m in zip(chunk_size, zyx, mults)
+    )
+    margin = tuple(
+        min(int(mg), (min(int(s), int(c)) - 1) // 2)
+        for mg, s, c in zip(margin, zyx, chunk_size)
+    )
+    starts, crops = make_chunks(zyx, chunk_size, margin)
+    n = len(starts)
+    C = model.out_channels
+    final_output = output_volume
+    padded = zyx != orig_zyx
+    if output_volume is None or padded:
+        output_volume = np.zeros((C,) + zyx, dtype=np.float32)
+    if batch_size is None:
+        batch_size = _pick_batch_size(n, chunk_size, C)
+
+    # gather chunks (host-side views, cheap)
+    def chunk_at(i):
+        return volume[chunk_slices(starts[i], chunk_size)]
+
+    # dispatch all microbatches first (async), then blend in order
+    pending = []
+    for b0 in range(0, n, batch_size):
+        b1 = min(b0 + batch_size, n)
+        xb = np.stack([chunk_at(i) for i in range(b0, b1)])[:, None]
+        if xb.shape[0] < batch_size:
+            pad = batch_size - xb.shape[0]
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
+                                              xb.dtype)])
+        yb = model(xb)  # async dispatch
+        pending.append((b0, b1, yb))
+
+    for b0, b1, yb in pending:
+        yb_host = np.asarray(yb)  # blocks on this microbatch only
+        for i in range(b0, b1):
+            crop = crops[i]
+            cr = tuple(slice(int(lo), int(hi)) for lo, hi in crop)
+            sl = (slice(None),) + chunk_slices(starts[i], chunk_size)
+            output_volume[sl][(slice(None),) + cr] = yb_host[i - b0][
+                (slice(None),) + cr
+            ]
+    if padded:
+        crop = (slice(None),) + tuple(slice(0, s) for s in orig_zyx)
+        if final_output is None:
+            return output_volume[crop]
+        final_output[...] = output_volume[crop]
+        return final_output
+    return output_volume
+
+
+def predict_chunk_feature_map(input_volume, sl, unet=False,
+                              default_only_mask=False, **kwargs):
+    """Per-chunk forward, for the generic ``process_chunks`` driver
+    (parity: iterseg ``predict.py:100-126``)."""
+    assert unet is not False, "Please ensure a unet is loaded and supplied"
+    sl = sl[1:]
+    x = np.asarray(input_volume[sl], dtype=np.float32)[None, None]
+    predicted = np.asarray(unet(x))
+    if default_only_mask:
+        predicted = predicted[3, ...]
+    return predicted

@@ -1,0 +1,282 @@
+"""Zarr / OME-Zarr volume I/O on the tensorstore C++ driver.
+
+Replaces the reference's zarr/ome-zarr/dask stack (iterseg ``_io.py``) with
+tensorstore (its own optional fast path, ``_io.py:8-13,325-386``) as the
+*only* backend: async C++ chunk I/O feeding the device pipeline, no Python
+chunk loops.
+
+API parity surface: ``open_zarr``, ``save_labels_to_ome``, ``load_ome_zarr``,
+``ome_metadata``, ``is_ome_labels``, ``ome_to_napari``, ``napari_to_ome``,
+``get_napari_reader`` plus ``zarr_save``/``zarr_open`` convenience twins of
+``zarr.save``/``zarr.open``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+from typing import Optional
+
+import numpy as np
+import tensorstore as ts
+
+__all__ = [
+    "ZarrArray",
+    "open_zarr",
+    "zarr_save",
+    "zarr_open",
+    "save_labels_to_ome",
+    "load_ome_zarr",
+    "ome_metadata",
+    "is_ome_labels",
+    "ome_to_napari",
+    "napari_to_ome",
+    "get_napari_reader",
+]
+
+
+class ZarrArray:
+    """Thin numpy-style adapter over a TensorStore array.
+
+    Reads return numpy arrays; writes are blocking. Keeps the downstream
+    code (chunked writeback, warm-restart scans) backend-agnostic.
+    """
+
+    def __init__(self, store: ts.TensorStore, path: Optional[str] = None):
+        self._ts = store
+        self.path = path
+
+    @property
+    def shape(self):
+        return tuple(self._ts.shape)
+
+    @property
+    def dtype(self):
+        return np.dtype(self._ts.dtype.numpy_dtype)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def chunks(self):
+        return tuple(self._ts.chunk_layout.read_chunk.shape or ())
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, sl):
+        return np.asarray(self._ts[sl].read().result())
+
+    def __setitem__(self, sl, value):
+        self._ts[sl].write(np.asarray(value)).result()
+
+    def write_async(self, sl, value):
+        """Non-blocking write; returns a future (overlaps with compute)."""
+        return self._ts[sl].write(np.asarray(value))
+
+    def __array__(self, dtype=None, copy=None):
+        arr = self[...]
+        return arr.astype(dtype) if dtype is not None else arr
+
+    @property
+    def store(self):
+        return self._ts
+
+
+def _spec(path, shape=None, chunks=None, dtype=None, create=False):
+    spec = {
+        "driver": "zarr",
+        "kvstore": {"driver": "file", "path": str(path)},
+    }
+    if create:
+        metadata = {
+            "shape": list(shape),
+            "dtype": np.dtype(dtype).str,
+            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 3,
+                           "shuffle": 2},
+        }
+        if chunks is not None:
+            metadata["chunks"] = [int(c) for c in chunks]
+        spec["metadata"] = metadata
+    return spec
+
+
+def open_zarr(labels_file, *, shape=None, chunks=None, dtype=np.uint32):
+    """Open a zarr array, creating it (zero-filled) if absent.
+
+    Parity with iterseg ``_io.py:325-386`` (which prefers tensorstore when
+    available; here it is always tensorstore).
+    """
+    path = str(labels_file)
+    exists = os.path.exists(os.path.join(path, ".zarray"))
+    if not exists:
+        if shape is None:
+            raise ValueError(f"no zarr at {path} and no shape to create one")
+        store = ts.open(
+            _spec(path, shape, chunks, dtype, create=True),
+            create=True,
+            open=True,
+        ).result()
+    else:
+        store = ts.open(_spec(path), open=True).result()
+    return ZarrArray(store, path)
+
+
+def zarr_save(path, data):
+    """``zarr.save`` twin: write a whole array to ``path``."""
+    data = np.asarray(data)
+    chunks = (1,) * max(0, data.ndim - 3) + data.shape[-3:] if data.ndim else None
+    arr = open_zarr(path, shape=data.shape, chunks=chunks, dtype=data.dtype)
+    arr[...] = data
+    return arr
+
+
+def zarr_open(path, mode="a"):
+    """``zarr.open`` twin (mode accepted for compatibility, unused)."""
+    p = str(path)
+    if os.path.exists(os.path.join(p, "0", ".zarray")) and not os.path.exists(
+        os.path.join(p, ".zarray")
+    ):
+        # ome-zarr root: open highest resolution
+        return open_zarr(os.path.join(p, "0"))
+    return open_zarr(p)
+
+
+# ---------------------------------------------------------------------------
+# OME-Zarr (NGFF v0.4) metadata
+# ---------------------------------------------------------------------------
+
+
+def napari_to_ome(layer_meta: dict) -> dict:
+    """Layer meta {scale, translate, name} → OME multiscales metadata.
+
+    Axes are assumed tzyx/zyx/yx with µm/s units (iterseg ``_io.py:99-135``).
+    """
+    scale = list(map(float, layer_meta["scale"]))
+    translate = list(map(float, layer_meta["translate"]))
+    ndim = len(scale)
+    axes = [
+        {"name": "t", "type": "time", "unit": "second"},
+        {"name": "z", "type": "space", "unit": "micrometer"},
+        {"name": "y", "type": "space", "unit": "micrometer"},
+        {"name": "x", "type": "space", "unit": "micrometer"},
+    ][-ndim:]
+    coordtfs = [
+        {"type": "scale", "scale": scale},
+        {"type": "translate", "translate": translate},
+    ]
+    datasets = [{"coordinateTransformations": coordtfs, "path": "0"}]
+    return {"datasets": datasets, "axes": axes, "name": layer_meta["name"]}
+
+
+def save_labels_to_ome(path, data=None, layer_meta=None, shape=None,
+                       chunks=None, dtype=np.uint32):
+    """Create an OME-Zarr labels store (iterseg ``_io.py:142-166``)."""
+    path = pathlib.Path(path)
+    if data is None and (shape is None or chunks is None):
+        raise ValueError("either data or shape/chunks must be provided")
+    os.makedirs(path, exist_ok=True)
+    ome_meta = napari_to_ome(layer_meta)
+    attrs = {
+        "image-label": {},
+        "multiscales": [
+            {
+                "version": "0.4",
+                "name": ome_meta["name"],
+                "axes": ome_meta["axes"],
+                "datasets": ome_meta["datasets"],
+            }
+        ],
+    }
+    with open(path / ".zgroup", "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(path / ".zattrs", "w") as f:
+        json.dump(attrs, f, indent=2)
+    if data is not None:
+        shape = data.shape
+        dtype = data.dtype
+        if chunks is None and hasattr(data, "chunks"):
+            chunks = data.chunks
+        elif chunks is None:
+            chunks = (1,) * (len(shape) - 2) + tuple(shape[-2:])
+    arr = open_zarr(path / "0", shape=shape, chunks=chunks, dtype=dtype)
+    if data is not None:
+        arr[...] = np.asarray(data)
+    return arr
+
+
+def ome_metadata(path) -> dict:
+    with open(pathlib.Path(path) / ".zattrs") as f:
+        return json.load(f)
+
+
+def is_ome_labels(ome_meta: dict) -> bool:
+    return "image-label" in ome_meta
+
+
+def _get_scale(ome_meta):
+    axes = ome_meta["multiscales"][0]["axes"]
+    non_channel = [i for i, ax in enumerate(axes) if ax["type"] != "channel"]
+    default = np.ones(len(axes))
+    ds = ome_meta["multiscales"][0]["datasets"][0]
+    scale = default
+    if "coordinateTransformations" in ds:
+        scales = [d["scale"] for d in ds["coordinateTransformations"]
+                  if d["type"] == "scale"]
+        if scales:
+            scale = np.multiply.reduce(scales)
+    return scale[non_channel]
+
+
+def _get_translate(ome_meta):
+    axes = ome_meta["multiscales"][0]["axes"]
+    non_channel = [i for i, ax in enumerate(axes) if ax["type"] != "channel"]
+    default = np.zeros(len(axes))
+    ds = ome_meta["multiscales"][0]["datasets"][0]
+    translate = default
+    if "coordinateTransformations" in ds:
+        translates = [d["translation"] for d in ds["coordinateTransformations"]
+                      if d["type"] == "translation"]
+        if translates:
+            translate = np.add.reduce(translates)
+    return translate[non_channel]
+
+
+def ome_to_napari(ome_meta: dict):
+    """OME dict → (napari-style layer kwargs, layer_type)."""
+    layer_type = "labels" if is_ome_labels(ome_meta) else "image"
+    axes = ome_meta["multiscales"][0]["axes"]
+    meta = {
+        "scale": _get_scale(ome_meta),
+        "translate": _get_translate(ome_meta),
+        "metadata": {"axes": axes},
+    }
+    if layer_type == "image":
+        try:
+            channel_axis = [i for i, ax in enumerate(axes)
+                            if ax["type"] == "channel"][0]
+        except IndexError:
+            channel_axis = None
+        meta["channel_axis"] = channel_axis
+        meta["name"] = ome_meta["multiscales"][0].get("name")
+    return meta, layer_type
+
+
+def load_ome_zarr(path):
+    """Read an OME-Zarr image/labels store → [(data, meta, layer_type)]."""
+    path = pathlib.Path(path)
+    ome_meta = ome_metadata(path)
+    layer_meta, layer_type = ome_to_napari(ome_meta)
+    ds = ome_meta["multiscales"][0]["datasets"]
+    if layer_type == "image" and len(ds) > 1:
+        data = [open_zarr(path / d["path"]) for d in ds]
+    else:
+        data = open_zarr(path / ds[0]["path"])
+    return [(data, layer_meta, layer_type)]
+
+
+def get_napari_reader(path):
+    if str(path).endswith("ome.zarr"):
+        return load_ome_zarr
+    return None
