@@ -101,10 +101,9 @@ def batchnorm_train(x, weight, bias, running_mean, running_var):
 def maxpool3d(x, kernel, stride, padding):
     """torch MaxPool3d parity: -inf padding, floor output size."""
     pads = ((0, 0), (0, 0)) + tuple((p, p) for p in padding)
-    neg = jnp.asarray(-jnp.inf, x.dtype)
     return jax.lax.reduce_window(
         x,
-        neg,
+        -jnp.inf,
         jax.lax.max,
         (1, 1) + tuple(kernel),
         (1, 1) + tuple(stride),

@@ -1,0 +1,336 @@
+"""U-Net training engine (optax Adam on TPU).
+
+Parity with iterseg ``train.py:25-432``: batch-size-1 epoch loop with
+per-channel loss logging, validation at the start of training and after
+every epoch, per-epoch checkpoints, timestamped final checkpoint, and
+loss/validation CSVs.
+
+Reference quirks handled explicitly:
+- **Double optimiser step** (train.py:310+353): the reference applies the
+  optimiser twice per batch with the same gradients (the second step reuses
+  the un-zeroed grads, advancing Adam moments again). Replicated by default
+  (``double_step=True``) for behavioural parity; pass False for a standard
+  single step.
+- **Validation in train mode**: the reference never calls ``model.eval()``,
+  so validation uses batch statistics *and updates the running stats*.
+  Replicated (``validate_in_train_mode=True`` default).
+- Validation predictions are saved as ``.npy`` (the reference writes tiffs;
+  tifffile is not a dependency here).
+
+The jitted train step fuses forward+backward+both Adam applications into a
+single XLA program; parameters stay on device across the epoch loop and the
+host only sees scalar losses.
+"""
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from ..helpers import LINE, write_log
+from ..models.convert import save_checkpoint, load_checkpoint
+from ..models.unet import UNetSpec, forward
+from .losses import make_loss_function, channel_losses
+from .train_io import load_tensor_from_zarr
+
+__all__ = ["train_unet", "TrainState"]
+
+
+def _split_params(params):
+    """(trainable, bn_state): running stats are state, not weights."""
+    bn = {k: v for k, v in params.items()
+          if k.endswith(("running_mean", "running_var"))}
+    trainable = {k: v for k, v in params.items() if k not in bn}
+    return trainable, bn
+
+
+class TrainState:
+    def __init__(self, spec, trainable, bn_state, opt_state):
+        self.spec = spec
+        self.trainable = trainable
+        self.bn_state = bn_state
+        self.opt_state = opt_state
+
+    @property
+    def params(self):
+        return {**self.trainable, **self.bn_state}
+
+
+def _make_steps(spec, optimizer, loss_fn, chan_log_fn, n_channels,
+                double_step, validate_in_train_mode):
+    @jax.jit
+    def train_step(trainable, bn_state, opt_state, x, y, epoch):
+        def loss_wrapped(tr):
+            params = {**tr, **bn_state}
+            out, updates = forward(params, spec, x, train=True)
+            loss = loss_fn(out, y, epoch)
+            return loss, (out, updates)
+
+        (loss, (out, updates)), grads = jax.value_and_grad(
+            loss_wrapped, has_aux=True
+        )(trainable)
+        u1, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, u1)
+        if double_step:
+            # second step with the same grads (reference parity)
+            u2, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, u2)
+        new_bn = {**bn_state, **updates}
+        chan = jnp.stack(channel_losses(out, y, chan_log_fn, n_channels,
+                                        epoch))
+        return trainable, new_bn, opt_state, loss, chan
+
+    @jax.jit
+    def val_step(trainable, bn_state, x, y, epoch):
+        params = {**trainable, **bn_state}
+        if validate_in_train_mode:
+            out, updates = forward(params, spec, x, train=True)
+            new_bn = {**bn_state, **updates}
+        else:
+            out = forward(params, spec, x, train=False)
+            new_bn = bn_state
+        loss = loss_fn(out, y, epoch)
+        return loss, out, new_bn
+
+    return train_step, val_step
+
+
+def train_unet(
+    # training data
+    x,
+    vx,
+    y,
+    vy,
+    ids=None,
+    vids=None,
+    # output information
+    out_dir=None,
+    name="my-unet",
+    channels=None,
+    # training variables
+    validate=True,
+    log=True,
+    epochs=3,
+    lr=0.01,
+    loss_function="BCELoss",
+    chan_weights=None,
+    weights=None,
+    update_every=20,
+    losses=None,
+    chan_losses=None,
+    # network architecture
+    fork_channels=None,
+    chan_final_activations=None,
+    # quirk switches (see module docstring)
+    double_step=True,
+    validate_in_train_mode=True,
+    seed=0,
+    **kwargs,
+):
+    """Train the anisotropic U-Net. Signature parity with iterseg
+    ``train.py:25-120``; returns ``(model, unet_path)``.
+
+    ``x/vx``: lists of (z, y, x) image chunks (arrays or zarr-backed);
+    ``y/vy``: matching (C, z, y, x) target chunks.
+    """
+    from ..engine.predict import UNetModel
+    from ..models.unet import init_params
+
+    save_output = out_dir is not None
+    print("Output will be saved: ", save_output)
+    print("Save directory: ", out_dir)
+    if ids is None:
+        ids = [name + f"_{i}" for i in range(len(x))]
+    if vids is None:
+        vids = [name + f"_val_{i}" for i in range(len(vx))]
+    channels = _index_channels_if_none(channels, y)
+    # model
+    if fork_channels is None:
+        spec = UNetSpec(1, len(channels),
+                        chan_final_activations=chan_final_activations)
+    else:
+        spec = UNetSpec(1, tuple(fork_channels),
+                        chan_final_activations=chan_final_activations)
+    params = init_params(spec, seed=seed)
+    weights_are = "naive"
+    if weights is not None:
+        if isinstance(weights, (str, os.PathLike)):
+            params = load_checkpoint(weights)
+        else:
+            params = {k: jnp.asarray(np.asarray(v))
+                      for k, v in dict(weights).items()}
+        weights_are = "pretrained"
+    trainable, bn_state = _split_params(params)
+    optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = optimizer.init(trainable)
+    loss_fn = make_loss_function(loss_function, chan_weights, losses,
+                                 chan_losses)
+    chan_log_fn = (
+        loss_fn
+        if loss_function in ("BCELoss", "DiceLoss", "DICELoss", "MSELoss")
+        else make_loss_function("BCELoss")
+    )
+    train_step, val_step = _make_steps(
+        spec, optimizer, loss_fn, chan_log_fn, len(channels), double_step,
+        validate_in_train_mode,
+    )
+    loss_dict = _get_loss_dict(channels)
+    validation_dict = {"epoch": [], "validation_loss": [], "data_id": [],
+                       "batch_id": []}
+    _print_train_info(loss_function, chan_weights, epochs, lr, weights_are,
+                      str(jax.devices()[0]), out_dir, log and save_output,
+                      chan_losses, losses, channels, fork_channels)
+
+    def _prep(img, tgt):
+        xb = np.asarray(load_tensor_from_zarr(0, [img]), dtype=np.float32)
+        yb = np.asarray(load_tensor_from_zarr(0, [tgt]), dtype=np.float32)
+        return xb[None, None], yb[None]
+
+    v_y_hats = None
+
+    def run_validation(e, batch_no):
+        nonlocal bn_state
+        v_y_hats = []
+        total = 0.0
+        for i in range(len(vx)):
+            xb, yb = _prep(vx[i], vy[i])
+            vl, out, bn_state = val_step(trainable, bn_state, xb, yb, e)
+            v_y_hats.append(np.asarray(out))
+            total += float(vl)
+            validation_dict["epoch"].append(e)
+            validation_dict["validation_loss"].append(float(vl))
+            validation_dict["data_id"].append(vids[i])
+            validation_dict["batch_id"].append(batch_no)
+        if len(vx):
+            s = f"Epoch {e} - validation loss: {total / len(vx)}"
+            print(s)
+            if log and save_output:
+                write_log(s, out_dir)
+        return v_y_hats
+
+    for e in range(epochs):
+        if validate and e == 0:
+            v_y_hats = run_validation(0, 0)
+        running_loss = 0.0
+        for i in range(len(x)):
+            xb, yb = _prep(x[i], y[i])
+            trainable, bn_state, opt_state, loss, chan = train_step(
+                trainable, bn_state, opt_state, xb, yb, e
+            )
+            loss = float(loss)
+            chan = np.asarray(chan)
+            loss_dict["epoch"].append(e)
+            loss_dict["batch_num"].append(i)
+            loss_dict["loss"].append(loss)
+            loss_dict["data_id"].append(ids[i])
+            for ci, c in enumerate(channels):
+                loss_dict[c].append(float(chan[ci]))
+            running_loss += loss
+            if i % update_every == (update_every - 1):
+                s = f"Epoch {e} - running loss: {running_loss / update_every}"
+                print(s)
+                if log and save_output:
+                    write_log(s, out_dir)
+                running_loss = 0.0
+        if validate:
+            v_y_hats = run_validation(e, (e + 1) * len(x))
+        if save_output:
+            print("Saving Training Checkpoint...")
+            _save_checkpoint_file({**trainable, **bn_state}, out_dir,
+                                  f"{name}_epoch-{e}")
+
+    params = {**trainable, **bn_state}
+    unet_path = None
+    if save_output:
+        print("Saving Final Results...")
+        unet_path = _save_final_results(params, out_dir, name, ids, validate,
+                                        loss_dict, v_y_hats, vids,
+                                        validation_dict)
+    model = UNetModel(params, spec)
+    return model, unet_path
+
+
+# ---------------------------------------------------------------------------
+# bookkeeping (parity: train.py:228-432)
+# ---------------------------------------------------------------------------
+
+
+def _index_channels_if_none(channels, y):
+    if channels is None:
+        c = np.asarray(y[0]).shape[0]
+        return tuple("channel_" + str(i) for i in range(c))
+    return tuple(channels)
+
+
+def _get_loss_dict(channels):
+    loss_dict = {"epoch": [], "batch_num": [], "loss": [], "data_id": []}
+    for c in channels:
+        loss_dict[c] = []
+    return loss_dict
+
+
+def _print_train_info(loss_function, chan_weights, epochs, lr, weights_are,
+                      device_name, out_dir, log, chan_losses, losses,
+                      channels, fork_channels):
+    s = LINE + "\n" + f"Loss function: {loss_function} \n"
+    if chan_weights is not None:
+        s += f"    Loss function channel weights: {chan_weights} \n"
+    if losses is not None:
+        for i, l in enumerate(losses):
+            s += f"    Loss for channels {chan_losses[i]}: {l}\n"
+    s += "Optimiser: Adam \n" + f"Learning rate: {lr} \n" + LINE + "\n"
+    s += f"Training {weights_are} U-net for {epochs} epochs with batch size 1 \n"
+    s += f"Device: {device_name} \n"
+    if channels is not None:
+        s += f"Channels: {channels}\n"
+    if fork_channels is not None:
+        s += (
+            f"Channels per fork (according to channel order): "
+            f"{fork_channels}\n"
+        )
+    s += LINE
+    print(s)
+    if log:
+        write_log(LINE, out_dir)
+        write_log(s, out_dir)
+
+
+def _save_checkpoint_file(params, out_dir, name, r=False):
+    d = datetime.now().strftime("%y%d%m_%H%M%S")
+    fname = d + "_unet_" + name + ".npz"
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, fname)
+    save_checkpoint(params, path)
+    if r:
+        return path
+
+
+def _save_final_results(params, out_dir, name, ids, validate, loss_dict,
+                        v_y_hats, v_ids, validation_dict):
+    unet_path = _save_checkpoint_file(params, out_dir, name, r=True)
+    loss_df = pd.DataFrame(loss_dict)
+    loss_df.to_csv(os.path.join(out_dir, "loss_" + name + ".csv"))
+    if validate:
+        _save_output(v_y_hats, v_ids, out_dir, name="_validation")
+        v_loss_df = pd.DataFrame(validation_dict)
+        v_loss_df.to_csv(
+            os.path.join(out_dir, "validation-loss_" + name + ".csv")
+        )
+    return unet_path
+
+
+def _save_output(y_hats, ids, out_dir, name=""):
+    if y_hats is None:
+        return
+    assert len(y_hats) == len(ids)
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(len(y_hats)):
+        p = os.path.join(out_dir, ids[i] + name + "_output.npy")
+        np.save(p, np.asarray(y_hats[i]))
