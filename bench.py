@@ -1,0 +1,160 @@
+"""Headline benchmark: end-to-end U-Net + affinity watershed on a 256³
+volume, voxels/sec on one TPU chip vs the reference's CPU pipeline.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "voxels/sec", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so the denominator is
+measured here once and cached in ``benchmarks/baseline_cpu.json``:
+torch-CPU U-Net forward per (10,256,256) chunk × the 32-chunk grid plus the
+host watershed postprocessing — i.e. the reference pipeline's cost on this
+host, using the same weights and volume (the reference's own numba kernel is
+unavailable in this image; our -O3 C++ flood, which is at least as fast,
+stands in, making the baseline conservative in the reference's favour).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchmarks",
+    "baseline_cpu.json",
+)
+CKPT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "iterseg_tpu", "data",
+    "default_unet.npz",
+)
+SIZE = 256
+CHUNK = (10, 256, 256)
+MARGIN = (1, 64, 64)
+
+
+def make_volume(size=SIZE, n_blobs=4000, seed=0):
+    """Synthetic platelet-like volume: bright anisotropic blobs."""
+    from scipy import ndimage as ndi
+
+    r = np.random.default_rng(seed)
+    vol = np.zeros((size, size, size), np.float32)
+    coords = np.stack(
+        [r.integers(2, size - 2, size=n_blobs) for _ in range(3)], 1
+    )
+    vol[tuple(coords.T)] = 1.0
+    vol = ndi.gaussian_filter(vol, (1.0, 2.0, 2.0))
+    vol /= vol.max()
+    vol += 0.02 * r.random(vol.shape).astype(np.float32)
+    return (vol / vol.max()).astype(np.float32)
+
+
+def get_params():
+    from iterseg_tpu.models.convert import load_checkpoint
+    from iterseg_tpu.models.unet import UNetSpec, init_params
+
+    if os.path.exists(CKPT_PATH):
+        return load_checkpoint(CKPT_PATH)
+    # deterministic fallback: fresh weights (identical FLOPs; watershed
+    # load differs from a trained net but stays in the same regime)
+    return init_params(UNetSpec(1, 5), seed=0)
+
+
+def run_tpu(volume, params):
+    from iterseg_tpu.engine.predict import UNetModel, predict_volume
+    from iterseg_tpu.ops.watershed import segment_output_image
+
+    model = UNetModel(params)
+    C = model.out_channels
+    out_vol = np.zeros((C,) + volume.shape, np.float32)
+
+    def pipeline():
+        predict_volume(model, volume, chunk_size=CHUNK, margin=MARGIN,
+                       output_volume=out_vol)
+        labels, seeds, mask = segment_output_image(
+            out_vol, (0, 1, 2), 3, 4
+        )
+        return labels
+
+    # warmup/compile on a small slice
+    predict_volume(model, volume[:CHUNK[0]], chunk_size=CHUNK,
+                   margin=MARGIN)
+    t0 = time.perf_counter()
+    labels = pipeline()
+    dt = time.perf_counter() - t0
+    return dt, labels
+
+
+def measure_baseline(volume, params):
+    """Reference-equivalent CPU cost on this host (cached)."""
+    import torch
+
+    from iterseg_tpu.core.chunks import make_chunks
+    from iterseg_tpu.ops.watershed import segment_output_image
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from torch_unet_ref import TorchUNetRef
+    from iterseg_tpu.models.convert import params_to_torch_state_dict
+
+    model = TorchUNetRef(1, 5)
+    model.load_state_dict(params_to_torch_state_dict(params))
+    model.eval()
+    torch.set_num_threads(os.cpu_count() or 1)
+    starts, _ = make_chunks(volume.shape, CHUNK, MARGIN)
+    n_chunks = len(starts)
+    x = torch.from_numpy(volume[: CHUNK[0], : CHUNK[1], : CHUNK[2]][
+        None, None
+    ])
+    with torch.no_grad():
+        model(x[..., :64, :64])  # warmup
+        t0 = time.perf_counter()
+        out_chunk = model(x).numpy()
+        t_chunk = time.perf_counter() - t0
+    # watershed postproc measured on a full-size feature volume built by
+    # tiling the computed chunk (host-side, feature-map statistics match)
+    C = out_chunk.shape[1]
+    feature_vol = np.zeros((C,) + volume.shape, np.float32)
+    for z0 in range(0, volume.shape[0], CHUNK[0]):
+        feature_vol[:, z0:z0 + CHUNK[0]] = out_chunk[0]
+    t0 = time.perf_counter()
+    segment_output_image(feature_vol, (0, 1, 2), 3, 4,
+                         device_featuremaps=False)
+    t_ws = time.perf_counter() - t0
+    total = t_chunk * n_chunks + t_ws
+    return {
+        "torch_cpu_sec_per_chunk": t_chunk,
+        "n_chunks": n_chunks,
+        "watershed_host_sec": t_ws,
+        "total_sec": total,
+        "voxels": int(np.prod(volume.shape)),
+        "voxels_per_sec": int(np.prod(volume.shape)) / total,
+        "host": os.uname().nodename,
+        "cpu_count": os.cpu_count(),
+    }
+
+
+def main():
+    volume = make_volume()
+    params = get_params()
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as f:
+            baseline = json.load(f)
+    else:
+        baseline = measure_baseline(volume, params)
+        os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(baseline, f, indent=2)
+    dt, labels = run_tpu(volume, params)
+    voxels = int(np.prod(volume.shape))
+    vps = voxels / dt
+    vs = vps / baseline["voxels_per_sec"]
+    print(json.dumps({
+        "metric": "unet+affinity-watershed end-to-end on 256^3, 1 chip",
+        "value": round(vps, 1),
+        "unit": "voxels/sec",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,56 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of
 AbigailMcGovern/iterseg: affinity U-Net + seeded affinity watershed
 segmentation of large tzyx microscopy volumes, classical DoG blob
 segmentation, iterative ground-truth harvesting, U-Net training, and
-VI/AP/object-count evaluation.
+VI/AP/object-count evaluation — on single TPU chips and device meshes.
+
+Public surface parity (reference ``__init__.py:1-13`` plus the headless
+twins the examples drive; see SURVEY.md §1):
 """
+
+from .widgets import (
+    train_from_viewer,
+    _train_from_viewer,
+    load_data,
+    _load_data,
+    segment_data,
+    combine_layers,
+    assess_segmentation,
+    _assess_segmentation,
+    compare_segmentations,
+    save_frames,
+    ground_truth_from_ROI,
+    _ground_truth_from_ROI,
+)
+from .engine.segmentation import (
+    segmenters,
+    affinity_unet_watershed,
+    dog_blob_watershed,
+)
+from .engine.predict import load_unet, predict_volume, UNetModel
+from .train.train import train_unet
+from .train.experiments import run_experiment, get_experiment_dict
+from .viewer import Viewer
+
+__all__ = [
+    "train_from_viewer",
+    "segment_data",
+    "combine_layers",
+    "generate_ground_truth",
+    "assess_segmentation",
+    "compare_segmentations",
+    "load_data",
+    "save_frames",
+    "ground_truth_from_ROI",
+    "segmenters",
+    "affinity_unet_watershed",
+    "dog_blob_watershed",
+    "load_unet",
+    "predict_volume",
+    "UNetModel",
+    "train_unet",
+    "run_experiment",
+    "get_experiment_dict",
+    "Viewer",
+]
 
 __version__ = "0.1.0"

@@ -1,0 +1,378 @@
+"""Segmentation accuracy metrics: VI, IoU-matched AP, object counts.
+
+Parity with iterseg ``metrics.py``:
+
+- ``get_accuracy_metrics`` (metrics.py:45-142): per-chunk VI, object-count
+  difference and 13-threshold IoU statistics with CSV outputs and 95% t-CIs.
+- ``variation_of_information``: conditional entropies H(GT|Out) /
+  H(Out|GT) in bits, computed from the label contingency table
+  (skimage.metrics.variation_of_information semantics, metrics.py:107).
+- ``calculate``: umetrix-equivalent IoU matching (metrics.py:205-227):
+  one-to-one Hungarian matching on the IoU matrix restricted to pairs above
+  the threshold; returns an object exposing ``n_true_positives``,
+  ``n_false_positives``, ``n_false_negatives``, ``n_pred_labels``,
+  ``n_true_labels`` and per-image ``results`` (IoU, Jaccard,
+  pixel_identity, localization_error).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from scipy import stats
+from scipy.optimize import linear_sum_assignment
+from scipy import sparse
+
+__all__ = [
+    "variation_of_information",
+    "calculate",
+    "get_accuracy_metrics",
+    "single_sample_stats",
+    "calc_ap",
+    "generate_IoU_dict",
+    "generate_IoU_data",
+    "generate_ap_scores",
+    "plot_accuracy_metrics",
+    "THRESHOLDS",
+]
+
+THRESHOLDS = (0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8,
+              0.85, 0.9)
+
+
+def _contingency(a, b):
+    """Sparse contingency counts over flattened label volumes."""
+    a = np.asarray(a).ravel()
+    b = np.asarray(b).ravel()
+    a_vals, a_inv = np.unique(a, return_inverse=True)
+    b_vals, b_inv = np.unique(b, return_inverse=True)
+    counts = sparse.coo_matrix(
+        (np.ones(a.size), (a_inv, b_inv)),
+        shape=(a_vals.size, b_vals.size),
+    ).tocsr()
+    return a_vals, b_vals, counts
+
+
+def variation_of_information(image0, image1):
+    """(H(image0|image1), H(image1|image0)) in bits.
+
+    With GT as image0: element 0 measures under-segmentation, element 1
+    over-segmentation (see iterseg ``_dock_widgets.py:731-737``).
+    """
+    _, _, cont = _contingency(image0, image1)
+    n = cont.sum()
+    pxy = cont / n
+    px = np.asarray(pxy.sum(axis=1)).ravel()
+    py = np.asarray(pxy.sum(axis=0)).ravel()
+    coo = pxy.tocoo()
+    vals = coo.data
+    h0g1 = -np.sum(vals * (np.log2(vals) - np.log2(py[coo.col])))
+    h1g0 = -np.sum(vals * (np.log2(vals) - np.log2(px[coo.row])))
+    return np.array([h0g1, h1g0])
+
+
+@dataclass
+class MatchResults:
+    IoU: float = 0.0
+    Jaccard: float = 0.0
+    pixel_identity: float = 0.0
+    localization_error: float = 0.0
+
+
+@dataclass
+class SegmentationMetrics:
+    n_true_labels: int = 0
+    n_pred_labels: int = 0
+    n_true_positives: int = 0
+    n_false_positives: int = 0
+    n_false_negatives: int = 0
+    results: MatchResults = field(default_factory=MatchResults)
+
+
+def calculate(gt, seg, strict=True, iou_threshold=0.5):
+    """umetrix-equivalent IoU matching of instance segmentations.
+
+    One-to-one matching maximising total IoU (Hungarian) over pairs whose
+    IoU >= threshold (``strict``); TP = matched pairs, FN = unmatched GT
+    objects, FP = unmatched predicted objects.
+    """
+    gt = np.asarray(gt)
+    seg = np.asarray(seg)
+    a_vals, b_vals, cont = _contingency(gt, seg)
+    a_fg = a_vals != 0
+    b_fg = b_vals != 0
+    areas_a = np.asarray(cont.sum(axis=1)).ravel()
+    areas_b = np.asarray(cont.sum(axis=0)).ravel()
+    coo = cont.tocoo()
+    n_true = int(a_fg.sum())
+    n_pred = int(b_fg.sum())
+    # IoU per overlapping (gt, seg) pair (foreground only)
+    keep = a_fg[coo.row] & b_fg[coo.col]
+    rows = coo.row[keep]
+    cols = coo.col[keep]
+    inter = coo.data[keep]
+    union = areas_a[rows] + areas_b[cols] - inter
+    iou = inter / union
+    above = iou >= iou_threshold
+    rows, cols, iou = rows[above], cols[above], iou[above]
+    tp = 0
+    matched_iou = []
+    matched_pairs = []
+    if len(iou):
+        # dense assignment over the (small) candidate submatrix
+        ur = np.unique(rows)
+        uc = np.unique(cols)
+        rmap = {v: i for i, v in enumerate(ur)}
+        cmap = {v: i for i, v in enumerate(uc)}
+        mat = np.zeros((len(ur), len(uc)))
+        for r, c, v in zip(rows, cols, iou):
+            mat[rmap[r], cmap[c]] = v
+        ri, ci = linear_sum_assignment(-mat)
+        for r, c in zip(ri, ci):
+            if mat[r, c] >= iou_threshold:
+                tp += 1
+                matched_iou.append(mat[r, c])
+                matched_pairs.append((ur[r], uc[c]))
+    fn = n_true - tp
+    fp = n_pred - tp
+    # localisation error: mean centroid distance of matched objects
+    loc_err = 0.0
+    if matched_pairs:
+        from scipy import ndimage as ndi
+
+        gt_cents = {}
+        seg_cents = {}
+        gl = [int(a_vals[r]) for r, _ in matched_pairs]
+        sl = [int(b_vals[c]) for _, c in matched_pairs]
+        gc = ndi.center_of_mass(np.ones_like(gt), gt, gl)
+        sc = ndi.center_of_mass(np.ones_like(seg), seg, sl)
+        loc_err = float(
+            np.mean(np.linalg.norm(np.array(gc) - np.array(sc), axis=1))
+        )
+    results = MatchResults(
+        IoU=float(np.mean(matched_iou)) if matched_iou else 0.0,
+        Jaccard=tp / (tp + fp + fn) if (tp + fp + fn) else 0.0,
+        pixel_identity=float(np.mean(gt == seg)),
+        localization_error=loc_err,
+    )
+    return SegmentationMetrics(
+        n_true_labels=n_true,
+        n_pred_labels=n_pred,
+        n_true_positives=tp,
+        n_false_positives=fp,
+        n_false_negatives=fn,
+        results=results,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Accuracy-metric driver (parity: metrics.py:45-258)
+# ---------------------------------------------------------------------------
+
+
+def get_accuracy_metrics(
+    slices,
+    gt_data,
+    model_result,
+    name: str,
+    prefix: str,
+    VI: bool = True,
+    AP: bool = True,
+    ND: bool = True,
+    out_path=None,
+    exclude_chunks: int = 10,
+):
+    """Chunkwise VI / AP / count metrics with CSV output.
+
+    ``slices``: list of (slice, crop) pairs from
+    ``core.chunks.get_slices_from_chunks``. Chunks whose GT contains at most
+    ``exclude_chunks + 1`` labels (incl. background) are skipped
+    (metrics.py:102).
+    """
+    scores = {
+        "VI: GT | Output": [],
+        "VI: Output | GT": [],
+        "Number objects (GT)": [],
+        "Number objects (model)": [],
+        "Count difference": [],
+        "Count difference (%)": [],
+    }
+    scores.update(generate_IoU_dict())
+    gt_data = _layer_data(gt_data)
+    model_result = _layer_data(model_result)
+    if gt_data.ndim != model_result.ndim:
+        dim_dif = gt_data.ndim - model_result.ndim
+        if dim_dif == -1:
+            gt_data = np.stack([gt_data] * model_result.shape[0])
+        elif dim_dif == 1:
+            model_result = np.stack([model_result] * gt_data.shape[0])
+        else:
+            raise ValueError(
+                "Ground truth and model result must be either 3D or 4D "
+                "arrays"
+            )
+    if gt_data.ndim == 3:
+        # the chunk slices carry a leading frame slice; promote to 1-frame
+        # 4D (the reference only supports 4D inputs here)
+        gt_data = gt_data[None]
+        model_result = model_result[None]
+    for s_, c_ in slices:
+        gt = np.squeeze(np.asarray(gt_data[s_]))[c_]
+        n_objects = np.unique(gt).size
+        if n_objects > exclude_chunks + 1:
+            mr = np.squeeze(np.asarray(model_result[s_]))[c_]
+            if VI:
+                vi = variation_of_information(gt, mr)
+                scores["VI: GT | Output"].append(vi[0])
+                scores["VI: Output | GT"].append(vi[1])
+            if AP:
+                generate_IoU_data(gt, mr, scores)
+            if ND:
+                n_mr = np.unique(mr).size
+                nd = n_mr - n_objects
+                scores["Count difference (%)"].append(nd / n_objects * 100)
+                scores["Number objects (GT)"].append(n_objects)
+                scores["Number objects (model)"].append(n_mr)
+                scores["Count difference"].append(nd)
+    lens = {key: len(scores[key]) for key in scores}
+    to_keep = [key for key in scores if lens[key] > 1]
+    new_scores = pd.DataFrame({key: scores[key] for key in to_keep})
+    statistics = single_sample_stats(new_scores, to_keep, name)
+    new_scores["model_name"] = [name] * len(new_scores)
+    if out_path is not None:
+        os.makedirs(out_path, exist_ok=True)
+        new_scores.to_csv(
+            os.path.join(out_path, f"{prefix}_{name}_scores.csv")
+        )
+        statistics.T.to_csv(
+            os.path.join(out_path, f"{prefix}_{name}_stats.csv")
+        )
+    ap_scores = None
+    # single-chunk runs lose their columns to the reference's len>1 filter
+    if AP and f"t{THRESHOLDS[0]}_true_positives" in new_scores:
+        ap_scores = generate_ap_scores(new_scores, name)
+        if out_path is not None:
+            ap_scores.to_csv(
+                os.path.join(out_path, f"{prefix}_{name}_AP_curve.csv")
+            )
+    return (new_scores, ap_scores), statistics
+
+
+def _layer_data(obj):
+    if hasattr(obj, "data") and not isinstance(obj, np.ndarray):
+        if not isinstance(getattr(obj, "data"), memoryview):
+            return np.asarray(obj.data)
+    return np.asarray(obj)
+
+
+def single_sample_stats(df, columns, name):
+    """Mean/SEM/95% t-CI per metric column (parity: metrics.py:145-160)."""
+    results = {}
+    alpha = 0.95
+    for c in columns:
+        vals = df[c].values
+        sample_mean = np.mean(vals)
+        sample_sem = stats.sem(vals)
+        CI = stats.t.interval(alpha, vals.size - 1, sample_mean, sample_sem)
+        n = str(c) + "_"
+        results[n + "mean"] = [sample_mean]
+        results[n + "sem"] = [sample_sem]
+        results[n + "95pcntCI_2-5pcnt"] = [CI[0]]
+        results[n + "95pcntCI_97-5pcnt"] = [CI[1]]
+    results = pd.DataFrame(results)
+    results["model_name"] = name
+    return results
+
+
+def calc_ap(result):
+    denominator = (
+        result.n_true_positives
+        + result.n_false_negatives
+        + result.n_false_positives
+    )
+    return result.n_true_positives / denominator if denominator else 0.0
+
+
+def generate_IoU_dict(thresholds=THRESHOLDS):
+    IoU_dict = {"n_predicted": [], "n_true": [], "n_diff": []}
+    for t in thresholds:
+        for suffix in (
+            "true_positives",
+            "false_positives",
+            "false_negatives",
+            "IoU",
+            "Jaccard",
+            "pixel_identity",
+            "localization_error",
+            "per_image_average_precision",
+        ):
+            IoU_dict[f"t{t}_{suffix}"] = []
+    return IoU_dict
+
+
+def generate_IoU_data(gt, seg, IoU_dict, thresholds=THRESHOLDS):
+    for t in thresholds:
+        result = calculate(gt, seg, strict=True, iou_threshold=t)
+        IoU_dict[f"t{t}_true_positives"].append(result.n_true_positives)
+        IoU_dict[f"t{t}_false_positives"].append(result.n_false_positives)
+        IoU_dict[f"t{t}_false_negatives"].append(result.n_false_negatives)
+        IoU_dict[f"t{t}_IoU"].append(result.results.IoU)
+        IoU_dict[f"t{t}_Jaccard"].append(result.results.Jaccard)
+        IoU_dict[f"t{t}_pixel_identity"].append(
+            result.results.pixel_identity
+        )
+        IoU_dict[f"t{t}_localization_error"].append(
+            result.results.localization_error
+        )
+        IoU_dict[f"t{t}_per_image_average_precision"].append(
+            calc_ap(result)
+        )
+        if t == thresholds[0]:
+            IoU_dict["n_predicted"].append(result.n_pred_labels)
+            IoU_dict["n_true"].append(result.n_true_labels)
+            IoU_dict["n_diff"].append(
+                result.n_true_labels - result.n_pred_labels
+            )
+
+
+def generate_ap_scores(df, name, thresholds=THRESHOLDS):
+    ap_scores = {"average_precision": [], "threshold": []}
+    for t in thresholds:
+        ap_scores["threshold"].append(t)
+        tp = df[f"t{t}_true_positives"].sum()
+        fp = df[f"t{t}_false_positives"].sum()
+        fn = df[f"t{t}_false_negatives"].sum()
+        denom = tp + fn + fp
+        ap_scores["average_precision"].append(tp / denom if denom else 0.0)
+    ap_scores["model_name"] = [name] * len(thresholds)
+    return pd.DataFrame(ap_scores)
+
+
+def plot_accuracy_metrics(
+    data,
+    prefix: str,
+    save_dir: str,
+    name: str,
+    variation_of_information: bool,
+    average_precision: bool,
+    object_count: bool,
+    show: bool = True,
+):
+    """Render VI / AP / count-difference plots
+    (parity: metrics.py:265-306)."""
+    from .plots import VI_plot, plot_AP, plot_count_difference
+
+    df0, df1 = data
+    if variation_of_information:
+        VI_path = os.path.join(save_dir, f"{prefix}_{name}_VI_plot.pdf")
+        VI_plot(df0, cond_ent_over="VI: GT | Output",
+                cond_ent_under="VI: Output | GT", save=VI_path, show=show)
+    if average_precision:
+        AP_path = os.path.join(save_dir, f"{prefix}_{name}_AP_plot.pdf")
+        plot_AP([df1], [prefix], AP_path, "Average precision", show=show)
+    if object_count:
+        OD_path = os.path.join(save_dir, f"{prefix}_{name}_OD_plot.pdf")
+        plot_count_difference(df0, "Object count difference", OD_path,
+                              show=show)

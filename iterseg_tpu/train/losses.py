@@ -15,6 +15,7 @@ from functools import partial
 from typing import Callable, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = [
@@ -28,6 +29,23 @@ __all__ = [
 ]
 
 _LOG_CLAMP = -100.0  # torch BCELoss clamps log terms at -100
+# smallest normal f32: below this, log underflows (XLA flushes subnormals
+# to zero, giving -inf) and 1/x overflows in the gradient
+_MIN_NORMAL = float(np.finfo(np.float32).tiny)
+
+
+def _safe_log(x):
+    """log(x) clamped at -100 with a NaN/inf-free gradient.
+
+    ``maximum(log(x), -100)`` has gradient ``[log(x) > -100] * 1/x`` which
+    is 0·inf = NaN at x == 0 — saturated sigmoids reach exactly 0/1 in f32
+    after a single training step, so the naive form NaNs real training runs.
+    The double-where form gives: value log(x) for normal x (always > -87.3,
+    so torch's -100 clamp never actually binds there), -100 for
+    subnormal/zero x, and an exact-zero gradient in the clamped region.
+    """
+    tiny = x < _MIN_NORMAL
+    return jnp.where(tiny, _LOG_CLAMP, jnp.log(jnp.where(tiny, 1.0, x)))
 
 
 def flatten_channels(inputs, targets, channel_dim=1):
@@ -44,9 +62,7 @@ def flatten_channels(inputs, targets, channel_dim=1):
 
 
 def _bce_elementwise(x, y):
-    logx = jnp.maximum(jnp.log(x), _LOG_CLAMP)
-    log1mx = jnp.maximum(jnp.log(1.0 - x), _LOG_CLAMP)
-    return -(y * logx + (1.0 - y) * log1mx)
+    return -(y * _safe_log(x) + (1.0 - y) * _safe_log(1.0 - x))
 
 
 def bce_loss(inputs, targets):

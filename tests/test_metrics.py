@@ -1,0 +1,199 @@
+"""Evaluation metrics tests: VI, IoU matching, AP, accuracy-metric driver."""
+import os
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import ndimage as ndi
+
+from iterseg_tpu.eval.metrics import (
+    variation_of_information,
+    calculate,
+    calc_ap,
+    get_accuracy_metrics,
+    generate_ap_scores,
+    generate_IoU_dict,
+    generate_IoU_data,
+    single_sample_stats,
+)
+from iterseg_tpu.core.chunks import get_slices_from_chunks
+
+
+def two_blob_labels(shift=0):
+    lab = np.zeros((8, 24, 24), int)
+    lab[2:6, 2:10, 2:10] = 1
+    lab[2:6, 12 + shift:20 + shift, 12:20] = 2
+    return lab
+
+
+class TestVI:
+    def test_identical_is_zero(self):
+        lab = two_blob_labels()
+        vi = variation_of_information(lab, lab)
+        np.testing.assert_allclose(vi, [0.0, 0.0], atol=1e-12)
+
+    def test_split_means_oversegmentation(self):
+        gt = two_blob_labels()
+        seg = gt.copy()
+        # split object 1 into two labels -> over-segmentation
+        seg[(gt == 1) & (np.arange(24)[None, None, :] < 6)] = 3
+        h_gt_given_out, h_out_given_gt = variation_of_information(gt, seg)
+        assert h_out_given_gt > h_gt_given_out
+        assert h_gt_given_out < 1e-10
+
+    def test_merge_means_undersegmentation(self):
+        gt = two_blob_labels()
+        seg = np.where(gt > 0, 1, 0)
+        h_gt_given_out, h_out_given_gt = variation_of_information(gt, seg)
+        assert h_gt_given_out > h_out_given_gt
+
+    def test_symmetry(self):
+        gt = two_blob_labels()
+        seg = two_blob_labels(shift=2)
+        v01 = variation_of_information(gt, seg)
+        v10 = variation_of_information(seg, gt)
+        np.testing.assert_allclose(v01, v10[::-1], atol=1e-10)
+
+
+class TestIoUMatching:
+    def test_perfect_match(self):
+        lab = two_blob_labels()
+        res = calculate(lab, lab, strict=True, iou_threshold=0.5)
+        assert res.n_true_positives == 2
+        assert res.n_false_positives == 0
+        assert res.n_false_negatives == 0
+        assert res.results.IoU == 1.0
+        assert res.results.Jaccard == 1.0
+        assert res.results.pixel_identity == 1.0
+        assert res.results.localization_error == 0.0
+        assert calc_ap(res) == 1.0
+
+    def test_missing_object(self):
+        gt = two_blob_labels()
+        seg = np.where(gt == 1, 1, 0)
+        res = calculate(gt, seg, iou_threshold=0.5)
+        assert res.n_true_positives == 1
+        assert res.n_false_negatives == 1
+        assert res.n_false_positives == 0
+        assert calc_ap(res) == 0.5
+
+    def test_threshold_sensitivity(self):
+        gt = two_blob_labels()
+        seg = two_blob_labels(shift=3)  # object 2 shifted: IoU ~0.45
+        lo = calculate(gt, seg, iou_threshold=0.3)
+        hi = calculate(gt, seg, iou_threshold=0.9)
+        assert lo.n_true_positives == 2
+        assert hi.n_true_positives == 1  # shifted object fails at 0.9
+
+    def test_relabeled_ids_match(self):
+        gt = two_blob_labels()
+        seg = np.where(gt == 1, 7, np.where(gt == 2, 3, 0))
+        res = calculate(gt, seg, iou_threshold=0.5)
+        assert res.n_true_positives == 2
+        assert res.results.pixel_identity < 1.0  # ids differ voxelwise
+
+
+class TestAccuracyMetrics:
+    def test_end_to_end_csvs(self, tmp_path):
+        r = np.random.default_rng(0)
+        vol = np.zeros((8, 32, 32), np.float32)
+        for c in np.stack([r.integers(1, s - 1, size=30) for s in vol.shape],
+                          1):
+            vol[tuple(c)] = 1.0
+        sm = ndi.gaussian_filter(vol, (1, 1.5, 1.5))
+        gt, n = ndi.label(sm > 0.25 * sm.max())
+        seg = gt  # perfect model
+        slices = get_slices_from_chunks(gt.shape, (8, 16, 16), (1, 4, 4))
+        (scores, ap), stats = get_accuracy_metrics(
+            slices, gt, seg, name="m0", prefix="test",
+            out_path=str(tmp_path), exclude_chunks=2,
+        )
+        assert (tmp_path / "test_m0_scores.csv").exists()
+        assert (tmp_path / "test_m0_stats.csv").exists()
+        assert (tmp_path / "test_m0_AP_curve.csv").exists()
+        assert np.allclose(ap["average_precision"].values, 1.0)
+        assert np.allclose(scores["VI: GT | Output"].values, 0.0)
+        assert np.all(scores["Count difference"].values == 0)
+
+    def test_excludes_sparse_chunks(self):
+        gt = np.zeros((8, 32, 32), int)
+        gt[2:4, 2:6, 2:6] = 1  # one object only
+        slices = get_slices_from_chunks(gt.shape, (8, 32, 32), (1, 4, 4))
+        (scores, ap), stats = get_accuracy_metrics(
+            slices, gt, gt, name="m", prefix="p", exclude_chunks=10,
+        )
+        assert len(scores) == 0  # all chunks excluded (<12 labels)
+
+    def test_3d_vs_4d_broadcast(self, tmp_path):
+        gt = two_blob_labels()
+        gt4 = np.stack([gt, gt])
+        slices = get_slices_from_chunks(gt4.shape, (8, 24, 24), (1, 4, 4))
+        (scores, ap), stats = get_accuracy_metrics(
+            slices, gt, gt4, name="m", prefix="p", exclude_chunks=1,
+        )
+        assert len(scores) == 2  # one chunk per frame
+
+
+class TestPlots:
+    def test_plot_files_created(self, tmp_path):
+        from iterseg_tpu.eval.metrics import plot_accuracy_metrics
+
+        gt = two_blob_labels()
+        seg = two_blob_labels(shift=1)
+        slices = get_slices_from_chunks((3,) + gt.shape, (8, 24, 24),
+                                        (1, 4, 4))
+        data, stats = get_accuracy_metrics(
+            slices, np.stack([gt] * 3), np.stack([seg] * 3),
+            name="m", prefix="p", exclude_chunks=1,
+        )
+        plot_accuracy_metrics(data, "p", str(tmp_path), "m", True, True,
+                              True, show=False)
+        assert (tmp_path / "p_m_VI_plot.pdf").exists()
+        assert (tmp_path / "p_m_AP_plot.pdf").exists()
+        assert (tmp_path / "p_m_OD_plot.pdf").exists()
+
+    def test_loss_plots(self, tmp_path):
+        from iterseg_tpu.eval.plots import save_loss_plot, \
+            save_channel_loss_plot
+
+        df = pd.DataFrame({
+            "epoch": [0, 0, 1, 1],
+            "batch_num": [0, 1, 0, 1],
+            "loss": [1.0, 0.9, 0.5, 0.4],
+            "data_id": list("abcd"),
+            "z-1": [1, 1, 1, 1.0],
+            "y-1": [1, 1, 1, 1.0],
+            "x-1": [1, 1, 1, 1.0],
+            "mask": [1, 1, 1, 1.0],
+            "centreness-log": [1, 1, 1, 1.0],
+        })
+        p = tmp_path / "loss_t.csv"
+        df.to_csv(p)
+        vdf = pd.DataFrame({
+            "epoch": [0, 0, 1],
+            "validation_loss": [1.0, 0.8, 0.6],
+            "data_id": list("abc"),
+            "batch_id": [0, 2, 4],
+        })
+        vp = tmp_path / "validation-loss_t.csv"
+        vdf.to_csv(vp)
+        save_loss_plot(str(p), "BCELoss", v_path=str(vp), show=False)
+        save_channel_loss_plot(str(p), show=False)
+        assert (tmp_path / "loss_t_loss.png").exists()
+        assert (tmp_path / "loss_t_channel-loss.png").exists()
+
+    def test_comparison_plots(self, tmp_path):
+        from iterseg_tpu.eval.plots import comparison_plots
+
+        gt = two_blob_labels()
+        for i, shift in enumerate((0, 2)):
+            seg = two_blob_labels(shift=shift)
+            slices = get_slices_from_chunks((3,) + gt.shape, (8, 24, 24),
+                                            (1, 4, 4))
+            get_accuracy_metrics(
+                slices, np.stack([gt] * 3), np.stack([seg] * 3),
+                name=f"model-{i}", prefix="cmp", out_path=str(tmp_path),
+                exclude_chunks=1,
+            )
+        out = comparison_plots(str(tmp_path), "compare-test", show=False)
+        assert os.path.exists(out)
+

@@ -245,3 +245,21 @@ class TestTrainUnet:
         paths = run_experiment(exp, [img], [gt], str(tmp_path))
         assert len(paths) == 1 and os.path.exists(paths[0])
         assert os.path.exists(tmp_path / "unet_paths.txt")
+
+
+class TestSaturationSafety:
+    def test_bce_grads_finite_at_saturation(self):
+        """Regression: grad of the -100-clamped log must be NaN/inf-free at
+        x == 0/1 (saturated sigmoids occur after a single real train step)."""
+        import jax
+        from iterseg_tpu.train.losses import bce_loss
+
+        x = jnp.array([0.0, 1.0, 0.5, 1e-45, 1e-7, 1.0 - 1e-7])
+        y = jnp.array([1.0, 0.0, 1.0, 0.0, 1.0, 0.0])
+        g = jax.grad(lambda x: bce_loss(x, y))(x)
+        assert bool(jnp.isfinite(g).all())
+        ref = torch.nn.BCELoss()(
+            torch.tensor([0.0, 1.0, 0.5, 1e-45, 1e-7, 1.0 - 1e-7]),
+            torch.tensor([1.0, 0.0, 1.0, 0.0, 1.0, 0.0]),
+        ).item()
+        assert abs(float(bce_loss(x, y)) - ref) < 1e-4

@@ -1,0 +1,154 @@
+"""API-surface tests: headless widget twins end-to-end."""
+import os
+
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from iterseg_tpu.viewer import Viewer, Image, Labels, Shapes
+from iterseg_tpu.widgets import (
+    _load_data,
+    read_data,
+    correct_shape,
+    segment_data,
+    combine_layers,
+    _assess_segmentation,
+    save_frames,
+    _ground_truth_from_ROI,
+    construct_channels_list,
+    find_matching_labels,
+)
+from iterseg_tpu.io.zarr_io import zarr_save
+
+
+@pytest.fixture
+def blob_image():
+    r = np.random.default_rng(1)
+    vol = np.zeros((8, 48, 48), np.float32)
+    for c in np.stack([r.integers(2, s - 2, size=14) for s in vol.shape], 1):
+        vol[tuple(c)] = 1.0
+    vol = ndi.gaussian_filter(vol, (1, 2, 2))
+    return (vol / vol.max()).astype(np.float32)
+
+
+class TestLoadData:
+    def test_zarr_dir(self, tmp_path, blob_image):
+        p = tmp_path / "img.zarr"
+        zarr_save(p, blob_image)
+        v = _load_data(None, "im", "Image", directory=str(p))
+        assert v.layers["im"].data.shape == blob_image.shape
+
+    def test_directory_of_frames(self, tmp_path, blob_image):
+        for i in range(3):
+            zarr_save(tmp_path / f"frame_{i}.zarr", blob_image)
+        v = _load_data(None, "stack", "Image", directory=str(tmp_path),
+                       data_type="individual frames")
+        assert v.layers["stack"].data.shape == (3,) + blob_image.shape
+
+    def test_correct_shape_pads_ragged(self):
+        a = np.ones((4, 8, 8))
+        b = np.ones((4, 6, 8))
+        out = correct_shape([a, b])
+        assert out[0].shape == out[1].shape == (4, 8, 8)
+        assert out[1][:, 6:, :].sum() == 0
+
+    def test_shapes_layer(self, tmp_path):
+        shapes = np.array([[[0, 0], [0, 5], [5, 5], [5, 0]]], float)
+        np.save(tmp_path / "rois.npy", shapes)
+        v = _load_data(None, "rois", "Shapes",
+                       data_file=str(tmp_path / "rois.npy"))
+        assert len(v.layers["rois"].data) == 1
+
+
+class TestSegmentData:
+    def test_dog_via_registry(self, blob_image):
+        v = Viewer()
+        layer = v.add_image(blob_image, name="img")
+        out_layer = segment_data(
+            v, layer, None, "seg", "DoG-blob-watershed", debug=True,
+        )
+        assert np.asarray(out_layer.data).max() > 0
+
+
+class TestCombineLayers:
+    def test_concat_and_save(self, tmp_path, blob_image):
+        stack = np.stack([blob_image, blob_image])
+        base = Labels((stack > 0.5).astype(np.int32), name="base")
+        app = Labels((stack > 0.3).astype(np.int32), name="app")
+        combine_layers(None, base, app, save_dir=str(tmp_path),
+                       save_prefix="combined")
+        assert base.data.shape[0] == 4
+        assert (tmp_path / "combined.zarr").exists()
+
+
+class TestAssess:
+    def test_assess_segmentation_files(self, tmp_path, blob_image):
+        gt, _ = ndi.label(blob_image > 0.25)
+        gt4 = np.stack([gt, gt])
+        data, stats = _assess_segmentation(
+            gt4, gt4, chunk_size=(8, 24, 24), margin=(1, 4, 4),
+            save_dir=str(tmp_path), save_prefix="am", name="m0",
+            show=False, exclude_chunks_less_than=1,
+        )
+        assert (tmp_path / "am_m0_scores.csv").exists()
+        assert (tmp_path / "am_m0_VI_plot.pdf").exists()
+        scores = data[0]
+        assert np.allclose(scores["VI: GT | Output"].values, 0)
+
+
+class TestSaveFrames:
+    def test_save_selected_frames(self, tmp_path, blob_image):
+        stack = np.stack([blob_image] * 3)
+        layer = Image(stack, name="im")
+        sp = save_frames(Viewer(), layer, save_dir=str(tmp_path),
+                         save_name="f", frames=(0, 2))
+        assert sp.endswith("f.zarr")
+        from iterseg_tpu.io.zarr_io import zarr_open
+
+        saved = np.asarray(zarr_open(sp))
+        assert saved.shape == (2,) + blob_image.shape
+
+    def test_save_whole_layer_individually(self, tmp_path, blob_image):
+        stack = np.stack([blob_image] * 2)
+        layer = Labels(stack.astype(np.int32), name="lab")
+        save_frames(Viewer(), layer, save_dir=str(tmp_path), save_name="g",
+                    frames=None, save_as_stack=False)
+        assert (tmp_path / "g_f0.zarr").exists()
+        assert (tmp_path / "g_f1.zarr").exists()
+
+
+class TestGroundTruthFromROI:
+    def test_roi_tiling(self, tmp_path, blob_image):
+        gt = (blob_image > 0.3).astype(np.int32)
+        v = Viewer()
+        img_layer = v.add_image(blob_image, name="im")
+        gt_layer = v.add_labels(gt, name="gt")
+        roi = np.array([[0, 4, 4], [0, 4, 20], [0, 20, 20], [0, 20, 4]],
+                       float)
+        shapes = v.add_shapes([roi], name="rois")
+        im_out, gt_out = _ground_truth_from_ROI(
+            v, img_layer, gt_layer, shapes, save_dir=str(tmp_path),
+            name="roi-gt", number_of_tiles=2, padding=2,
+        )
+        assert (tmp_path / "roi-gt_labels.zarr").exists()
+        assert (tmp_path / "roi-gt_img.zarr").exists()
+        got = np.asarray(gt_out)
+        assert got.shape == gt.shape[-3:]
+        # the tiled region matches the ROI crop
+        np.testing.assert_array_equal(got[:, :16, :16], gt[:, 4:20, 4:20])
+
+
+class TestHelpers:
+    def test_construct_channels_list(self):
+        out = construct_channels_list(1, "mask", "centreness-log")
+        assert out == [("z-1", "y-1", "x-1", "mask", "centreness-log")]
+        out = construct_channels_list((2, 1, 1), "mask", "centreness")
+        assert out == [("z-1", "z-2", "y-1", "x-1", "mask", "centreness")]
+
+    def test_find_matching_labels(self, blob_image):
+        v = Viewer()
+        gt = (blob_image > 0.3).astype(np.int32)
+        v.add_labels(gt + 0, name="a")
+        v.add_labels(np.zeros_like(gt), name="b")
+        match = find_matching_labels(v, gt)
+        assert match.name == "a"
