@@ -60,27 +60,17 @@ def get_params():
 
 
 def run_tpu(volume, params):
-    from iterseg_tpu.engine.predict import UNetModel, predict_volume
-    from iterseg_tpu.ops.watershed import segment_output_image
+    from iterseg_tpu.engine.predict import UNetModel
+    from iterseg_tpu.engine.device_pipeline import AffinityPipeline
 
     model = UNetModel(params)
-    C = model.out_channels
-    out_vol = np.zeros((C,) + volume.shape, np.float32)
-
-    def pipeline():
-        predict_volume(model, volume, chunk_size=CHUNK, margin=MARGIN,
-                       output_volume=out_vol)
-        labels, seeds, mask = segment_output_image(
-            out_vol, (0, 1, 2), 3, 4
-        )
-        return labels
-
-    # warmup/compile on a small slice
-    predict_volume(model, volume[:CHUNK[0]], chunk_size=CHUNK,
-                   margin=MARGIN)
+    pipe = AffinityPipeline(model, chunk_size=CHUNK, margin=MARGIN)
+    pipe.segment(volume)  # warmup: compile both programs
+    profile = {}
     t0 = time.perf_counter()
-    labels = pipeline()
+    labels = pipe.segment(volume, profile=profile)
     dt = time.perf_counter() - t0
+    sys.stderr.write(f"phase profile: {profile}\n")
     return dt, labels
 
 
@@ -115,7 +105,8 @@ def measure_baseline(volume, params):
     C = out_chunk.shape[1]
     feature_vol = np.zeros((C,) + volume.shape, np.float32)
     for z0 in range(0, volume.shape[0], CHUNK[0]):
-        feature_vol[:, z0:z0 + CHUNK[0]] = out_chunk[0]
+        z1 = min(z0 + CHUNK[0], volume.shape[0])
+        feature_vol[:, z0:z1] = out_chunk[0][:, : z1 - z0]
     t0 = time.perf_counter()
     segment_output_image(feature_vol, (0, 1, 2), 3, 4,
                          device_featuremaps=False)

@@ -1,0 +1,275 @@
+"""Device-resident affinity segmentation pipeline (transfer-minimal).
+
+The generic path (``predict_volume`` + ``segment_output_image``) downloads
+the full 5-channel feature volume and re-uploads pieces for postprocessing.
+On hosts with thin links to the accelerator that traffic dominates end to
+end, so this pipeline keeps everything resident on device and transfers
+only what the host flood actually needs:
+
+  up:    the raw volume (once)
+  down:  threshold mask (uint8), the pre-sorted peak-candidate indices
+         (int32, capacity-capped), Otsu scalar — and, after the host
+         computes the size-filtered mask, the affinity values gathered at
+         masked voxels only (program B).
+
+One jitted program (A) covers: chunk-grid batched U-Net forward (scan over
+microbatches; chunks gathered and margin-crop re-assembled on device),
+affinity normalisation + padding, centroid smoothing, Otsu, and the sorted
+peak-candidate list. The affinity volume never leaves the device except
+through the masked gather.
+
+Outputs are identical to the generic path: the same feature maps feed the
+same exact host flood (``ops.watershed.affinity_watershed``); equality is
+covered by tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.chunks import make_chunks, chunk_slices
+from ..ops.filters import gaussian, maximum_filter
+from ..ops.threshold import threshold_otsu
+from ..ops.cc import size_band_filter
+from ..ops.watershed_oracle import neighbor_offsets
+from .. import native
+
+__all__ = ["AffinityPipeline"]
+
+_CAND_CAP = 1 << 18  # max pre-sorted peak candidates shipped to host
+
+
+def _valid_grid(zyx, chunk_size, margin):
+    """Pad/clamp logic shared with predict_volume: z even, y/x %16 chunks."""
+    mults = (2, 16, 16)
+    pads = []
+    for s, c, m in zip(zyx, chunk_size, mults):
+        usable = min(c, s)
+        pads.append((0, 0) if usable >= m else (0, m - s))
+    padded = tuple(s + p[1] for s, p in zip(zyx, pads))
+    chunk = tuple(
+        (min(int(c), int(s)) // m) * m
+        for c, s, m in zip(chunk_size, padded, mults)
+    )
+    marg = tuple(
+        min(int(mg), (min(int(s), int(c)) - 1) // 2)
+        for mg, s, c in zip(margin, padded, chunk)
+    )
+    return pads, padded, chunk, marg
+
+
+class AffinityPipeline:
+    """U-Net → watershed segmentation of one zyx volume, device-resident."""
+
+    def __init__(self, model, chunk_size=(10, 256, 256),
+                 margin=(1, 64, 64), absolute_thresh=None,
+                 microbatch: int = 8, cand_capacity: int = _CAND_CAP):
+        self.model = model
+        self.chunk_size = tuple(chunk_size)
+        self.margin = tuple(margin)
+        self.absolute_thresh = absolute_thresh
+        self.microbatch = microbatch
+        self.cand_capacity = cand_capacity
+        self._programs = {}
+        self._gathers = {}
+
+    # ------------------------------------------------------------------
+    # program A: volume -> (aff_pad[device], mask u8, cand order, n, otsu)
+    # ------------------------------------------------------------------
+
+    def _build_program(self, zyx):
+        pads, padded, chunk, marg = _valid_grid(zyx, self.chunk_size,
+                                                self.margin)
+        starts, crops = make_chunks(padded, chunk, marg)
+        n = len(starts)
+        B = int(min(self.microbatch, n))
+        nb = -(-n // B)
+        params = self.model.params
+        spec = self.model.spec
+        K = self.cand_capacity
+        absolute_thresh = self.absolute_thresh
+
+        # per-axis piece lists for device-side assembly
+        z_starts = sorted({s[0] for s in starts})
+        y_starts = sorted({s[1] for s in starts})
+        x_starts = sorted({s[2] for s in starts})
+        start_index = {s: i for i, s in enumerate(starts)}
+        crop_of = {tuple(s): c for s, c in zip(starts, crops)}
+
+        from ..models import unet as unet_mod
+
+        def program(vol):
+            vol = jnp.pad(vol, pads, mode="edge")
+            xs = jnp.stack(
+                [vol[chunk_slices(s, chunk)] for s in starts]
+            )[:, None]  # (n, 1, cz, cy, cx)
+            if nb * B != n:
+                xs = jnp.concatenate(
+                    [xs, jnp.zeros((nb * B - n,) + xs.shape[1:], xs.dtype)]
+                )
+            xs = xs.reshape((nb, B) + xs.shape[1:])
+
+            def step(_, xb):
+                return None, unet_mod.forward(params, spec, xb, train=False)
+
+            _, ys = jax.lax.scan(step, None, xs)
+            ys = ys.reshape((nb * B,) + ys.shape[2:])[:n]  # (n, C, cz, cy, cx)
+
+            # assemble margin-cropped pieces (crops tile `padded` exactly)
+            def piece(s):
+                i = start_index[s]
+                cr = crop_of[tuple(s)]
+                return ys[i][
+                    (slice(None),) + tuple(slice(int(a), int(b))
+                                           for a, b in cr)
+                ]
+
+            zrows = []
+            for zs in z_starts:
+                yrows = []
+                for ysr in y_starts:
+                    xpieces = [piece((zs, ysr, xsr)) for xsr in x_starts]
+                    yrows.append(
+                        xpieces[0] if len(xpieces) == 1
+                        else jnp.concatenate(xpieces, axis=3)
+                    )
+                zrows.append(
+                    yrows[0] if len(yrows) == 1
+                    else jnp.concatenate(yrows, axis=2)
+                )
+            out = (zrows[0] if len(zrows) == 1
+                   else jnp.concatenate(zrows, axis=1))
+            out = out[:, : zyx[0], : zyx[1], : zyx[2]]
+
+            aff = out[:3]
+            aff = aff / jnp.max(aff, axis=(1, 2, 3)).reshape(-1, 1, 1, 1)
+            aff_pad = jnp.pad(aff, ((0, 0), (1, 1), (1, 1), (1, 1)))
+            masking_img = out[3]
+            cent = out[4]
+            cent_smooth = gaussian(cent, (0.0, 1.0, 1.0))
+            if absolute_thresh is None:
+                thresh = threshold_otsu(gaussian(masking_img, 2.0))
+            else:
+                thresh = jnp.float32(absolute_thresh)
+            mask = (masking_img > thresh).astype(jnp.uint8)
+            # peak candidates (min_distance=1, exclude 1-voxel border)
+            cand = (cent_smooth == maximum_filter(cent_smooth, 3,
+                                                  mode="nearest"))
+            cand = cand & (cent_smooth > 0.04)
+            interior = jnp.pad(
+                jnp.ones([s - 2 for s in zyx], bool), 1,
+                constant_values=False,
+            )
+            cand = cand & interior
+            scores = jnp.where(cand, -cent_smooth, jnp.inf).ravel()
+            order = jnp.argsort(scores)[:K].astype(jnp.int32)
+            n_cand = jnp.sum(cand).astype(jnp.int32)
+            return aff_pad, mask, order, n_cand, thresh, cent_smooth
+
+        return jax.jit(program), (pads, padded, chunk, marg)
+
+    def _gather_fn(self, capacity):
+        if capacity not in self._gathers:
+            @jax.jit
+            def gather(aff_pad, idx):
+                flat = aff_pad.reshape(aff_pad.shape[0], -1)
+                return flat[:, idx]
+
+            self._gathers[capacity] = gather
+        return self._gathers[capacity]
+
+    # ------------------------------------------------------------------
+
+    def segment(self, volume, out=None, profile=None):
+        """Instance labels for one prepared (normalised) zyx volume.
+
+        Returns int32 labels of ``volume.shape`` (padding cropped), as
+        ``segment_output_image`` does on the generic path.
+        """
+        import time as _time
+
+        def tick(name, t0):
+            if profile is not None:
+                profile[name] = profile.get(name, 0.0) + (
+                    _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        volume = np.ascontiguousarray(volume, dtype=np.float32)
+        zyx = volume.shape
+        key = zyx
+        if key not in self._programs:
+            self._programs[key] = self._build_program(zyx)
+        program, _ = self._programs[key]
+
+        t0 = _time.perf_counter()
+        aff_pad, mask_u8, order, n_cand, thresh, cent_smooth = program(
+            jnp.asarray(volume)
+        )
+        jax.block_until_ready(mask_u8)
+        t0 = tick("device_program", t0)
+
+        mask = np.asarray(mask_u8).astype(bool)
+        n_cand = int(n_cand)
+        if n_cand > self.cand_capacity:
+            # overflow fallback: exact host peak path
+            from ..ops.peaks import peak_local_max
+
+            cand_coords = peak_local_max(np.asarray(cent_smooth),
+                                         threshold_abs=0.04)
+        else:
+            idx_sorted = np.asarray(order[:n_cand])
+            cand_coords = np.stack(
+                np.unravel_index(idx_sorted, zyx), axis=1
+            )
+        t0 = tick("download_mask_cands", t0)
+
+        from ..ops.peaks import _ensure_spacing
+
+        cand_coords = _ensure_spacing(cand_coords, spacing=1)
+        centroids = cand_coords + 1  # account for padding
+        mask_pad = np.pad(mask, 1, constant_values=False)
+        mask_pad, centroids = size_band_filter(
+            mask_pad, centroids, min_area=10, max_area=10000000
+        )
+        t0 = tick("host_mask_filter", t0)
+
+        # masked affinity gather (values are only read at masked voxels)
+        masked_idx = np.flatnonzero(mask_pad.ravel()).astype(np.int32)
+        m = len(masked_idx)
+        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
+        capacity = min(capacity, mask_pad.size)
+        idx_up = np.zeros(capacity, np.int32)
+        idx_up[:m] = masked_idx
+        gather = self._gather_fn(capacity)
+        vals = np.asarray(gather(aff_pad, jnp.asarray(idx_up)))[:, :m]
+        t0 = tick("gather_affinities", t0)
+
+        pshape = mask_pad.shape
+        aff_host = np.zeros((3, mask_pad.size), np.float32)
+        aff_host[:, masked_idx] = vals
+        offsets, axes = neighbor_offsets(pshape)
+        n_half = len(offsets) // 2
+        val_off = offsets.copy()
+        val_off[:n_half] = 0
+        if out is None:
+            output = np.zeros(mask_pad.size, np.int32)
+        else:
+            output = out
+            output[:] = 0
+        if len(centroids):
+            markers = np.ravel_multi_index(tuple(centroids.T), pshape)
+            output[markers] = np.arange(len(markers), dtype=np.int32) + 1
+            native.priority_flood(
+                aff_host, offsets, axes, val_off,
+                markers.astype(np.int64),
+                np.zeros(len(markers), np.float32),
+                mask_pad.ravel(), output,
+            )
+        t0 = tick("flood", t0)
+        labels = output.reshape(pshape)[1:-1, 1:-1, 1:-1]
+        return labels

@@ -131,7 +131,8 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
     output_volume = np.zeros(
         (num_pred_channels,) + tuple(data.shape[-3:]), dtype=np.float32
     )
-    return {"unet": model, "output_volume": output_volume}
+    return {"unet": model, "output_volume": output_volume,
+            "pipeline_cache": {}}
 
 
 def affinity_watershed_for_chunks(
@@ -141,14 +142,40 @@ def affinity_watershed_for_chunks(
     margin,
     unet=None,
     output_volume=None,
+    pipeline_cache=None,
+    use_device_pipeline=True,
     **kwargs,
 ):
     """Per-volume process: batched U-Net inference + affinity watershed
-    (parity: segmentation.py:147-195)."""
-    if output_volume is None:
-        raise ValueError("output_volume must not be None")
+    (parity: segmentation.py:147-195).
+
+    Default fast path: the device-resident ``AffinityPipeline`` (feature
+    maps never leave the device; only the mask, sorted peak candidates and
+    masked affinities are transferred). Produces labels identical to the
+    generic predict+segment_output_image path (tested); set
+    ``use_device_pipeline=False`` to force the generic path.
+    """
     if unet is None:
         raise ValueError("unet must not be None")
+    if use_device_pipeline and output_volume is not None and (
+        output_volume.shape[0] == 5
+    ):
+        from .device_pipeline import AffinityPipeline
+
+        if pipeline_cache is None:
+            pipeline_cache = {}
+        key = (tuple(chunk_size), tuple(margin))
+        if key not in pipeline_cache:
+            pipeline_cache[key] = AffinityPipeline(
+                unet, chunk_size=chunk_size, margin=margin
+            )
+        # the flood writes straight into the padded label buffer, exactly
+        # like the generic path's out=current_output.ravel()
+        pipeline_cache[key].segment(input_volume,
+                                    out=current_output.ravel())
+        return
+    if output_volume is None:
+        raise ValueError("output_volume must not be None")
     if output_volume.shape[1:] != input_volume.shape:
         # zero-slice removal shrank the frame: the preallocated scratch no
         # longer fits (latent reference bug — a_w_output_volume sizes it

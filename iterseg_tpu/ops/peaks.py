@@ -39,18 +39,41 @@ def _ensure_spacing(coords: np.ndarray, spacing: float) -> np.ndarray:
     """Greedy Chebyshev-spacing rejection, identical to skimage
     ``ensure_spacing`` with ``p_norm=inf``: iterate candidates in order,
     accept a candidate and reject every other candidate within distance
-    <= spacing (inclusive)."""
+    <= spacing (inclusive).
+
+    Grid-bucketed: each candidate only checks the 3^ndim neighbouring
+    buckets of side ``spacing`` — O(n) instead of the naive O(n²), which
+    matters at the ~10⁵ candidates real feature maps produce.
+    """
     n = len(coords)
-    accepted = np.ones(n, dtype=bool)
+    if n == 0:
+        return coords
+    spacing_i = max(int(np.ceil(spacing)), 1)
     keep = []
+    buckets = {}
+    cells = (coords // spacing_i).astype(np.int64)
+    from itertools import product
+
+    ndim = coords.shape[1]
+    neighborhood = list(product((-1, 0, 1), repeat=ndim))
     for i in range(n):
-        if not accepted[i]:
+        c = coords[i]
+        cell = tuple(cells[i])
+        conflict = False
+        for off in neighborhood:
+            for j in buckets.get(
+                tuple(cell[d] + off[d] for d in range(ndim)), ()
+            ):
+                if np.max(np.abs(coords[j] - c)) <= spacing:
+                    conflict = True
+                    break
+            if conflict:
+                break
+        if conflict:
+            # an earlier-accepted point within spacing already rejected i
             continue
         keep.append(i)
-        d = np.max(np.abs(coords - coords[i]), axis=1)
-        close = d <= spacing
-        close[i] = False
-        accepted[close] = False
+        buckets.setdefault(cell, []).append(i)
     return coords[keep]
 
 

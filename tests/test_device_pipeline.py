@@ -1,0 +1,79 @@
+"""Device-resident pipeline equivalence vs the generic path."""
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+from iterseg_tpu.engine.predict import UNetModel, predict_volume
+from iterseg_tpu.models.unet import UNetSpec, init_params
+from iterseg_tpu.ops.watershed import segment_output_image
+
+
+@pytest.fixture(scope="module")
+def model():
+    return UNetModel(init_params(UNetSpec(1, 5), seed=0))
+
+
+def blob_volume(shape=(6, 64, 64), n=20, seed=2):
+    r = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.float32)
+    for c in np.stack([r.integers(1, s - 1, size=n) for s in shape], 1):
+        vol[tuple(c)] = 1.0
+    vol = ndi.gaussian_filter(vol, (1, 2, 2))
+    vol = vol / vol.max() + 0.01
+    return (vol / vol.max()).astype(np.float32)
+
+
+class TestAffinityPipeline:
+    def test_matches_generic_path(self, model):
+        vol = blob_volume()
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8))
+        labels_fast = pipe.segment(vol)
+
+        out_vol = predict_volume(model, vol, chunk_size=(6, 64, 64),
+                                 margin=(1, 8, 8))
+        labels_ref, seeds, mask = segment_output_image(
+            out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4
+        )
+        assert labels_fast.shape == labels_ref.shape
+        agree = (labels_fast == labels_ref).mean()
+        # identical modulo float-order noise in the batched forward;
+        # require exact equality — any mismatch is a real bug until the
+        # forward paths provably diverge in float
+        np.testing.assert_array_equal(labels_fast, labels_ref)
+
+    def test_multichunk_grid(self, model):
+        vol = blob_volume(shape=(6, 96, 96), n=40)
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 16, 16))
+        labels_fast = pipe.segment(vol)
+        out_vol = predict_volume(model, vol, chunk_size=(6, 64, 64),
+                                 margin=(1, 16, 16))
+        labels_ref, _, _ = segment_output_image(
+            out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4
+        )
+        np.testing.assert_array_equal(labels_fast, labels_ref)
+
+    def test_absolute_thresh(self, model):
+        vol = blob_volume()
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8), absolute_thresh=0.5)
+        labels_fast = pipe.segment(vol)
+        out_vol = predict_volume(model, vol, chunk_size=(6, 64, 64),
+                                 margin=(1, 8, 8))
+        labels_ref, _, _ = segment_output_image(
+            out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4,
+            absolute_thresh=0.5,
+        )
+        np.testing.assert_array_equal(labels_fast, labels_ref)
+
+    def test_program_cache_reuse(self, model):
+        vol = blob_volume()
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8))
+        prof = {}
+        pipe.segment(vol, profile=prof)
+        assert len(pipe._programs) == 1
+        pipe.segment(blob_volume(seed=5), profile=prof)
+        assert len(pipe._programs) == 1  # same shape -> cached program
