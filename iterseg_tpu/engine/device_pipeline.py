@@ -67,13 +67,16 @@ class AffinityPipeline:
 
     def __init__(self, model, chunk_size=(10, 256, 256),
                  margin=(1, 64, 64), absolute_thresh=None,
-                 microbatch: int = 8, cand_capacity: int = _CAND_CAP):
+                 microbatch: int = 8, cand_capacity: int = _CAND_CAP,
+                 normalize: bool = False):
         self.model = model
         self.chunk_size = tuple(chunk_size)
         self.margin = tuple(margin)
         self.absolute_thresh = absolute_thresh
         self.microbatch = microbatch
         self.cand_capacity = cand_capacity
+        self.normalize = normalize  # divide by max on device (device twin
+        # of segment_single_volume's host normalisation; bit-identical f32)
         self._programs = {}
         self._gathers = {}
 
@@ -101,8 +104,12 @@ class AffinityPipeline:
         crop_of = {tuple(s): c for s, c in zip(starts, crops)}
 
         from ..models import unet as unet_mod
+        normalize = self.normalize
 
         def program(vol):
+            vol = vol.astype(jnp.float32)
+            if normalize:
+                vol = vol / jnp.max(vol)
             vol = jnp.pad(vol, pads, mode="edge")
             xs = jnp.stack(
                 [vol[chunk_slices(s, chunk)] for s in starts]
@@ -155,7 +162,21 @@ class AffinityPipeline:
                 thresh = threshold_otsu(gaussian(masking_img, 2.0))
             else:
                 thresh = jnp.float32(absolute_thresh)
-            mask = (masking_img > thresh).astype(jnp.uint8)
+            mask = masking_img > thresh
+            # (size-band filtering happens on host: scipy's union-find CC
+            # beats the device pointer-jumping loop end-to-end here)
+            # pack mask bits MSB-first (np.unpackbits layout) for download
+            mbits = mask.ravel()
+            pad_bits = (-mbits.size) % 8
+            if pad_bits:
+                mbits = jnp.concatenate(
+                    [mbits, jnp.zeros(pad_bits, bool)]
+                )
+            weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            mask_packed = jnp.sum(
+                mbits.reshape(-1, 8).astype(jnp.uint8) * weights, axis=1,
+                dtype=jnp.uint8,
+            )
             # peak candidates (min_distance=1, exclude 1-voxel border)
             cand = (cent_smooth == maximum_filter(cent_smooth, 3,
                                                   mode="nearest"))
@@ -168,7 +189,7 @@ class AffinityPipeline:
             scores = jnp.where(cand, -cent_smooth, jnp.inf).ravel()
             order = jnp.argsort(scores)[:K].astype(jnp.int32)
             n_cand = jnp.sum(cand).astype(jnp.int32)
-            return aff_pad, mask, order, n_cand, thresh, cent_smooth
+            return aff_pad, mask_packed, order, n_cand, thresh, cent_smooth
 
         return jax.jit(program), (pads, padded, chunk, marg)
 
@@ -199,7 +220,12 @@ class AffinityPipeline:
                 )
             return _time.perf_counter()
 
-        volume = np.ascontiguousarray(volume, dtype=np.float32)
+        # integer volumes upload as-is (half/quarter the bytes) and convert
+        # + normalise on device; float volumes upload as f32
+        if not np.issubdtype(np.asarray(volume).dtype, np.integer):
+            volume = np.ascontiguousarray(volume, dtype=np.float32)
+        else:
+            volume = np.ascontiguousarray(volume)
         zyx = volume.shape
         key = zyx
         if key not in self._programs:
@@ -207,13 +233,16 @@ class AffinityPipeline:
         program, _ = self._programs[key]
 
         t0 = _time.perf_counter()
-        aff_pad, mask_u8, order, n_cand, thresh, cent_smooth = program(
+        aff_pad, mask_packed, order, n_cand, thresh, cent_smooth = program(
             jnp.asarray(volume)
         )
-        jax.block_until_ready(mask_u8)
+        jax.block_until_ready(mask_packed)
         t0 = tick("device_program", t0)
 
-        mask = np.asarray(mask_u8).astype(bool)
+        nvox = int(np.prod(zyx))
+        mask = np.unpackbits(np.asarray(mask_packed))[:nvox].astype(
+            bool
+        ).reshape(zyx)
         n_cand = int(n_cand)
         if n_cand > self.cand_capacity:
             # overflow fallback: exact host peak path
@@ -232,7 +261,9 @@ class AffinityPipeline:
 
         cand_coords = _ensure_spacing(cand_coords, spacing=1)
         centroids = cand_coords + 1  # account for padding
+        t0 = tick("host_spacing", t0)
         mask_pad = np.pad(mask, 1, constant_values=False)
+        t0 = tick("host_pad", t0)
         mask_pad, centroids = size_band_filter(
             mask_pad, centroids, min_area=10, max_area=10000000
         )

@@ -62,6 +62,22 @@ def get_lib():
             except (subprocess.CalledProcessError, FileNotFoundError) as e:
                 raise NativeUnavailable(f"could not build native kernels: {e}")
         lib = ctypes.CDLL(_LIB)
+        lib.label_cc6.restype = ctypes.c_int32
+        lib.label_cc6.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.ensure_spacing_cheb.restype = None
+        lib.ensure_spacing_cheb.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.priority_flood.restype = None
         lib.priority_flood.argtypes = [
             ctypes.POINTER(ctypes.c_float),   # values
@@ -111,3 +127,35 @@ def priority_flood(values, offsets, val_chan, val_off, markers, seed_values,
         ctypes.c_int64(n),
     )
     return output
+
+
+def label_cc6(mask):
+    """6-connectivity CC labels, scipy raster numbering (3D only)."""
+    lib = get_lib()
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    assert mask.ndim == 3
+    labels = np.zeros(mask.shape, dtype=np.int32)
+    num = lib.label_cc6(
+        _ptr(mask, ctypes.c_uint8),
+        _ptr(labels, ctypes.c_int32),
+        ctypes.c_int64(mask.shape[0]),
+        ctypes.c_int64(mask.shape[1]),
+        ctypes.c_int64(mask.shape[2]),
+    )
+    return labels, int(num)
+
+
+def ensure_spacing_cheb(coords, spacing):
+    """Greedy Chebyshev spacing keep-flags for priority-ordered coords."""
+    lib = get_lib()
+    coords = np.ascontiguousarray(coords, dtype=np.int64)
+    n, ndim = coords.shape
+    keep = np.zeros(n, dtype=np.uint8)
+    lib.ensure_spacing_cheb(
+        _ptr(coords, ctypes.c_int64),
+        ctypes.c_int64(n),
+        ctypes.c_int64(ndim),
+        ctypes.c_int64(int(spacing)),
+        _ptr(keep, ctypes.c_uint8),
+    )
+    return keep.astype(bool)

@@ -125,3 +125,114 @@ void priority_flood(const float* values, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// 6-connectivity connected components over a raveled 3D mask, labels
+// assigned in raster-scan order of first occurrence (scipy.ndimage.label
+// numbering). BFS flood per component. Returns the number of labels.
+int32_t label_cc6(const uint8_t* mask, int32_t* labels, int64_t nz,
+                  int64_t ny, int64_t nx) {
+  const int64_t n = nz * ny * nx;
+  const int64_t sy = nx;
+  const int64_t sz = ny * nx;
+  std::vector<int64_t> queue;
+  queue.reserve(4096);
+  int32_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!mask[i] || labels[i]) continue;
+    ++next;
+    labels[i] = next;
+    queue.clear();
+    queue.push_back(i);
+    while (!queue.empty()) {
+      int64_t v = queue.back();
+      queue.pop_back();
+      int64_t z = v / sz;
+      int64_t rem = v - z * sz;
+      int64_t y = rem / nx;
+      int64_t x = rem - y * nx;
+      const int64_t nbrs[6] = {v - sz, v - sy, v - 1, v + 1, v + sy, v + sz};
+      const bool ok[6] = {z > 0, y > 0, x > 0, x < nx - 1, y < ny - 1,
+                          z < nz - 1};
+      for (int k = 0; k < 6; ++k) {
+        if (!ok[k]) continue;
+        int64_t u = nbrs[k];
+        if (mask[u] && !labels[u]) {
+          labels[u] = next;
+          queue.push_back(u);
+        }
+      }
+    }
+  }
+  return next;
+}
+
+// Greedy Chebyshev minimum-spacing rejection over priority-ordered integer
+// coordinates (skimage ensure_spacing semantics, p_norm=inf): accept a
+// candidate iff no previously accepted candidate lies within `spacing`.
+// Grid-hashed for O(n); writes keep flags.
+void ensure_spacing_cheb(const int64_t* coords, int64_t n, int64_t ndim,
+                         int64_t spacing, uint8_t* keep) {
+  if (n == 0) return;
+  const int64_t cell_size = spacing > 0 ? spacing : 1;
+  // open-addressing hash of cell -> chain of accepted point indices
+  struct Node {
+    int64_t point;
+    int64_t next;
+  };
+  std::vector<Node> nodes;
+  nodes.reserve(static_cast<size_t>(n));
+  size_t buckets = 1;
+  while (buckets < static_cast<size_t>(2 * n + 16)) buckets <<= 1;
+  std::vector<int64_t> head(buckets, -1);
+  auto cell_hash = [&](const int64_t* c) -> size_t {
+    size_t h = 1469598103934665603ull;
+    for (int64_t d = 0; d < ndim; ++d) {
+      int64_t q = c[d] >= 0 ? c[d] / cell_size : -((-c[d] - 1) / cell_size) - 1;
+      h ^= static_cast<size_t>(q) + 0x9e3779b97f4a7c15ull + (h << 6) +
+           (h >> 2);
+    }
+    return h & (buckets - 1);
+  };
+  std::vector<int64_t> cell(static_cast<size_t>(ndim));
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t* c = coords + i * ndim;
+    bool conflict = false;
+    // scan all neighbour cells (3^ndim)
+    int64_t n_cells = 1;
+    for (int64_t d = 0; d < ndim; ++d) n_cells *= 3;
+    for (int64_t t = 0; t < n_cells && !conflict; ++t) {
+      int64_t tt = t;
+      for (int64_t d = 0; d < ndim; ++d) {
+        int64_t off = (tt % 3) - 1;
+        tt /= 3;
+        int64_t q = c[d] >= 0 ? c[d] / cell_size
+                              : -((-c[d] - 1) / cell_size) - 1;
+        cell[static_cast<size_t>(d)] = (q + off) * cell_size;
+      }
+      size_t h = cell_hash(cell.data());
+      for (int64_t node = head[h]; node != -1 && !conflict;
+           node = nodes[static_cast<size_t>(node)].next) {
+        const int64_t* p =
+            coords + nodes[static_cast<size_t>(node)].point * ndim;
+        int64_t dmax = 0;
+        for (int64_t d = 0; d < ndim; ++d) {
+          int64_t diff = p[d] > c[d] ? p[d] - c[d] : c[d] - p[d];
+          if (diff > dmax) dmax = diff;
+        }
+        if (dmax <= spacing) conflict = true;
+      }
+    }
+    if (conflict) {
+      keep[i] = 0;
+      continue;
+    }
+    keep[i] = 1;
+    size_t h = cell_hash(c);
+    nodes.push_back(Node{i, head[h]});
+    head[h] = static_cast<int64_t>(nodes.size() - 1);
+  }
+}
+
+}  // extern "C"

@@ -48,6 +48,14 @@ def _ensure_spacing(coords: np.ndarray, spacing: float) -> np.ndarray:
     n = len(coords)
     if n == 0:
         return coords
+    if np.issubdtype(coords.dtype, np.integer):
+        try:
+            from .. import native
+
+            keep = native.ensure_spacing_cheb(coords, int(spacing))
+            return coords[keep]
+        except native.NativeUnavailable:
+            pass
     spacing_i = max(int(np.ceil(spacing)), 1)
     keep = []
     buckets = {}

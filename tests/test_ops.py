@@ -122,3 +122,30 @@ class TestCC:
         new_mask, new_cent = size_band_filter(mask, centroids, 10, 1000)
         assert new_mask.sum() == 75
         assert len(new_cent) == 1 and tuple(new_cent[0]) == (6, 7, 7)
+
+
+class TestNativeKernels:
+    def test_label_cc6_matches_scipy(self, blobs):
+        from iterseg_tpu import native
+        from scipy import ndimage as ndi
+
+        try:
+            labels, num = native.label_cc6(blobs)
+        except native.NativeUnavailable:
+            pytest.skip("no native toolchain")
+        ref, n_ref = ndi.label(blobs)
+        assert num == n_ref
+        np.testing.assert_array_equal(labels, ref)
+
+    def test_ensure_spacing_native_matches_python(self, rng):
+        from iterseg_tpu import native
+        from iterseg_tpu.ops import peaks as P
+
+        coords = rng.integers(0, 60, size=(5000, 3))
+        try:
+            keep = native.ensure_spacing_cheb(coords, 1)
+        except native.NativeUnavailable:
+            pytest.skip("no native toolchain")
+        # python grid fallback (force by using float coords)
+        ref = P._ensure_spacing(coords.astype(np.float64), 1.0)
+        np.testing.assert_array_equal(coords[keep], ref.astype(np.int64))
