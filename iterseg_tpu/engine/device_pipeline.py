@@ -205,6 +205,52 @@ class AffinityPipeline:
 
     # ------------------------------------------------------------------
 
+    def segment_stack(self, stack, output_labels, skip_labelled=True,
+                      profile=None):
+        """Pipelined 4D (t, z, y, x) segmentation.
+
+        Frame t+1's device program is dispatched (JAX async) before frame
+        t's host postprocessing/flood runs, so device compute and the
+        sequential host flood overlap — the TPU never waits for the heap.
+        Writes into ``output_labels[t]`` and yields t (warm-restart
+        semantics like ``segmentation_loop`` when ``skip_labelled``).
+
+        Frames that trigger zero-slice removal (shape change) fall back to
+        the unpipelined exact path.
+        """
+        from ..core.volume import prepare_volume, restore_labels
+
+        n_frames = stack.shape[0]
+        todo = []
+        for t in range(n_frames):
+            if skip_labelled and np.any(np.asarray(output_labels[t])):
+                continue
+            todo.append(t)
+
+        pending = []  # (t, device_outputs, kept, orig_shape)
+
+        def dispatch(t):
+            vol = np.asarray(stack[t]).astype(np.float32)
+            orig_shape = vol.shape
+            vol, kept = prepare_volume(vol, return_kept=True)
+            if vol.shape not in self._programs:
+                self._programs[vol.shape] = self._build_program(vol.shape)
+            program, _ = self._programs[vol.shape]
+            outs = program(jnp.asarray(vol))  # async dispatch
+            return (t, vol.shape, outs, kept, orig_shape)
+
+        for i, t in enumerate(todo):
+            if not pending:
+                pending.append(dispatch(t))
+            job = pending.pop(0)
+            if i + 1 < len(todo):
+                pending.append(dispatch(todo[i + 1]))  # overlap next frame
+            jt, zyx, outs, kept, orig_shape = job
+            labels = self._finalize(zyx, outs, profile=profile)
+            labels = restore_labels(labels, kept, orig_shape)
+            output_labels[jt] = labels
+            yield jt
+
     def segment(self, volume, out=None, profile=None):
         """Instance labels for one prepared (normalised) zyx volume.
 
@@ -212,13 +258,6 @@ class AffinityPipeline:
         ``segment_output_image`` does on the generic path.
         """
         import time as _time
-
-        def tick(name, t0):
-            if profile is not None:
-                profile[name] = profile.get(name, 0.0) + (
-                    _time.perf_counter() - t0
-                )
-            return _time.perf_counter()
 
         # integer volumes upload as-is (half/quarter the bytes) and convert
         # + normalise on device; float volumes upload as f32
@@ -233,12 +272,28 @@ class AffinityPipeline:
         program, _ = self._programs[key]
 
         t0 = _time.perf_counter()
-        aff_pad, mask_packed, order, n_cand, thresh, cent_smooth = program(
-            jnp.asarray(volume)
-        )
-        jax.block_until_ready(mask_packed)
-        t0 = tick("device_program", t0)
+        outs = program(jnp.asarray(volume))
+        jax.block_until_ready(outs[1])
+        if profile is not None:
+            profile["device_program"] = profile.get(
+                "device_program", 0.0
+            ) + (_time.perf_counter() - t0)
+        return self._finalize(zyx, outs, out=out, profile=profile)
 
+    def _finalize(self, zyx, outs, out=None, profile=None):
+        """Host half: unpack mask, spacing, size filter, masked affinity
+        gather, exact flood."""
+        import time as _time
+
+        def tick(name, t0):
+            if profile is not None:
+                profile[name] = profile.get(name, 0.0) + (
+                    _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        aff_pad, mask_packed, order, n_cand, thresh, cent_smooth = outs
+        t0 = _time.perf_counter()
         nvox = int(np.prod(zyx))
         mask = np.unpackbits(np.asarray(mask_packed))[:nvox].astype(
             bool

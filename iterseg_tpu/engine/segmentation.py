@@ -474,6 +474,23 @@ def segmentation_loop(
         output_labels[...] = output
         yield 0
         return
+    if (
+        config.get("pipeline_cache") is not None
+        and config.get("unet") is not None
+        and getattr(config.get("output_volume"), "shape", (0,))[0] == 5
+    ):
+        # pipelined 4D fast path: frame t+1's device program overlaps
+        # frame t's host flood (same labels as the per-frame path)
+        from .device_pipeline import AffinityPipeline
+
+        cache = config["pipeline_cache"]
+        key = (tuple(chunk_size), tuple(margin))
+        if key not in cache:
+            cache[key] = AffinityPipeline(config["unet"],
+                                          chunk_size=chunk_size,
+                                          margin=margin)
+        yield from cache[key].segment_stack(data, output_labels)
+        return
     for t in range(data.shape[0]):
         if np.any(np.asarray(output_labels[t])):
             continue  # warm restart: frame already segmented

@@ -77,3 +77,42 @@ class TestAffinityPipeline:
         assert len(pipe._programs) == 1
         pipe.segment(blob_volume(seed=5), profile=prof)
         assert len(pipe._programs) == 1  # same shape -> cached program
+
+
+class TestSegmentStack:
+    def test_pipelined_4d_matches_per_frame(self, model):
+        vols = [blob_volume(seed=s) for s in (3, 4, 5)]
+        stack = np.stack(vols)
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8))
+        out = np.zeros(stack.shape, np.int32)
+        ts = list(pipe.segment_stack(stack, out))
+        assert ts == [0, 1, 2]
+        for t, vol in enumerate(vols):
+            ref = pipe.segment(vol)
+            np.testing.assert_array_equal(out[t], ref)
+
+    def test_warm_restart_skips(self, model):
+        vols = [blob_volume(seed=s) for s in (3, 4)]
+        stack = np.stack(vols)
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8))
+        out = np.zeros(stack.shape, np.int32)
+        out[0] = 1  # pre-labelled frame
+        ts = list(pipe.segment_stack(stack, out))
+        assert ts == [1]
+        assert np.all(out[0] == 1)
+
+    def test_wrapper_uses_pipelined_path(self, model, tmp_path, monkeypatch):
+        from iterseg_tpu.engine.segmentation import affinity_unet_watershed
+        from iterseg_tpu.models.convert import save_checkpoint
+
+        ck = save_checkpoint(model.params, tmp_path / "m.npz")
+        stack = np.stack([blob_volume(seed=7), blob_volume(seed=8)])
+        out = affinity_unet_watershed(
+            None, stack, save_dir=str(tmp_path), name="st",
+            unet_or_config_file=str(ck),
+            chunk_size=(6, 64, 64), margin=(1, 8, 8),
+        )
+        a = np.asarray(out[0])
+        assert a.max() >= 0 and a.shape == stack.shape[1:]
