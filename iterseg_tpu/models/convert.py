@@ -37,7 +37,11 @@ def torch_state_dict_to_params(state_dict) -> Dict[str, jnp.ndarray]:
             continue
         if hasattr(v, "detach"):
             v = v.detach().cpu().numpy()
-        params[k] = jnp.asarray(np.asarray(v), dtype=jnp.float32)
+        # copy=True: torch tensors share memory with their .numpy() views,
+        # and jnp.asarray may zero-copy host buffers on the CPU backend —
+        # without the copy, torch's in-place BatchNorm stat updates would
+        # silently mutate the JAX parameters.
+        params[k] = jnp.asarray(np.array(v, dtype=np.float32, copy=True))
     return params
 
 
@@ -70,7 +74,8 @@ def infer_spec_from_params(params) -> UNetSpec:
 
 
 def load_checkpoint(path) -> Dict[str, jnp.ndarray]:
-    """Load ``.npz`` (native) or ``.pt``/``.pth`` (torch) checkpoints."""
+    """Load ``.npz`` (native), ``.pt``/``.pth`` (torch) or orbax
+    (directory) checkpoints."""
     path = str(path)
     if path.endswith(".npz"):
         with np.load(path) as data:
@@ -80,7 +85,28 @@ def load_checkpoint(path) -> Dict[str, jnp.ndarray]:
 
         sd = torch.load(path, map_location="cpu", weights_only=True)
         return torch_state_dict_to_params(sd)
+    if os.path.isdir(path):
+        return load_checkpoint_orbax(path)
     raise ValueError(f"unknown checkpoint format: {path}")
+
+
+def save_checkpoint_orbax(params, path):
+    """Save via orbax (async-capable, multi-host/sharded-ready)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(str(path))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {k: np.asarray(v) for k, v in params.items()})
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint_orbax(path) -> Dict[str, jnp.ndarray]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(str(path)))
+    return {k: jnp.asarray(v) for k, v in restored.items()}
 
 
 def save_checkpoint(params, path):

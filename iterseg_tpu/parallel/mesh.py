@@ -96,10 +96,7 @@ def make_sharded_train_step(mesh: Mesh, spec, loss_fn, optimizer,
     xsh = data_sharding(mesh)
     rep = NamedSharding(mesh, P())
 
-    @functools.partial(
-        jax.jit,
-        donate_argnums=(0, 2),
-    )
+    @jax.jit
     def step(trainable, bn_state, opt_state, x, y, epoch):
         def loss_wrapped(tr):
             p = {**tr, **bn_state}

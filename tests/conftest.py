@@ -5,6 +5,7 @@ sharding is tested on host CPU devices; TPU-only behaviour is exercised by
 bench.py / __graft_entry__.py on real hardware.
 """
 import os
+import sys
 
 # force-override: the session may preset JAX_PLATFORMS to the TPU plugin
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -13,6 +14,17 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if "jax" in sys.modules:
+    # A sitecustomize (e.g. the TPU session's .axon_site) pre-imported jax
+    # and may have initialised a 1-device CPU backend before this conftest
+    # ran; reset and force the virtual 8-device CPU mesh.
+    import jax
+    from jax._src import xla_bridge as _xb
+
+    _xb._clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")

@@ -127,3 +127,20 @@ class TestInit:
         assert set(params.keys()) == ref_keys
         for k in ref_keys:
             assert params[k].shape == tuple(sd[k].shape), k
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        from iterseg_tpu.models.convert import (
+            save_checkpoint_orbax,
+            load_checkpoint,
+        )
+
+        params = init_params(UNetSpec(1, 5), seed=1)
+        p = save_checkpoint_orbax(params, tmp_path / "ckpt_orbax")
+        loaded = load_checkpoint(p)
+        assert set(loaded) == set(params)
+        for k in params:
+            np.testing.assert_array_equal(
+                np.asarray(loaded[k]), np.asarray(params[k])
+            )
