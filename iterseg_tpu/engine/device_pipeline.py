@@ -24,9 +24,6 @@ covered by tests.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -319,9 +316,16 @@ class AffinityPipeline:
         t0 = tick("host_spacing", t0)
         mask_pad = np.pad(mask, 1, constant_values=False)
         t0 = tick("host_pad", t0)
-        mask_pad, centroids = size_band_filter(
-            mask_pad, centroids, min_area=10, max_area=10000000
-        )
+        try:
+            mask_pad = native.band_filter_cc6(mask_pad, 10, 10000000)
+            # keeping a centroid iff it lies in a surviving object ==
+            # the reference's centroid_labels > 0 check
+            if len(centroids):
+                centroids = centroids[mask_pad[tuple(centroids.T)]]
+        except native.NativeUnavailable:
+            mask_pad, centroids = size_band_filter(
+                mask_pad, centroids, min_area=10, max_area=10000000
+            )
         t0 = tick("host_mask_filter", t0)
 
         # masked affinity gather (values are only read at masked voxels)

@@ -327,12 +327,10 @@ def unet_mask_for_chunks(input_volume, current_output, chunk_size, margin,
     segmentation.py:248-296, made functional)."""
     predict_volume(unet, input_volume, chunk_size=chunk_size, margin=margin,
                    output_volume=output_volume)
-    from ..ops.threshold import threshold_otsu
+    from ..ops.threshold import threshold_otsu_np
 
     masking = output_volume[3]
     smoothed = np.asarray(gaussian(masking, 2.0))
-    from ..ops.threshold import threshold_otsu_np
-
     mask = masking > threshold_otsu_np(smoothed)
     current_output[1:-1, 1:-1, 1:-1] = mask
     output_volume[:] = 0

@@ -70,6 +70,16 @@ def get_lib():
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.band_filter_cc6.restype = None
+        lib.band_filter_cc6.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         lib.ensure_spacing_cheb.restype = None
         lib.ensure_spacing_cheb.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -159,3 +169,25 @@ def ensure_spacing_cheb(coords, spacing):
         _ptr(keep, ctypes.c_uint8),
     )
     return keep.astype(bool)
+
+
+def band_filter_cc6(mask, min_area, max_area):
+    """In-place fused CC size-band filter on a 3D uint8/bool mask.
+
+    Returns the filtered boolean mask (components with size outside
+    [min_area, max_area) removed).
+    """
+    lib = get_lib()
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    assert m.ndim == 3
+    labels = np.zeros(m.shape, dtype=np.int32)
+    lib.band_filter_cc6(
+        _ptr(m, ctypes.c_uint8),
+        _ptr(labels, ctypes.c_int32),
+        ctypes.c_int64(m.shape[0]),
+        ctypes.c_int64(m.shape[1]),
+        ctypes.c_int64(m.shape[2]),
+        ctypes.c_int64(int(min_area)),
+        ctypes.c_int64(int(max_area)),
+    )
+    return m.astype(bool)

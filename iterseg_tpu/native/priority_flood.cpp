@@ -236,3 +236,58 @@ void ensure_spacing_cheb(const int64_t* coords, int64_t n, int64_t ndim,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fused size-band filter: 6-connectivity components of `mask`, then zero
+// every voxel whose component size is outside [min_area, max_area).
+// In-place on mask; scratch labels buffer provided by caller (int32, same
+// size, zero-initialised). Single BFS pass + one linear rewrite.
+void band_filter_cc6(uint8_t* mask, int32_t* labels, int64_t nz, int64_t ny,
+                     int64_t nx, int64_t min_area, int64_t max_area) {
+  const int64_t n = nz * ny * nx;
+  const int64_t sy = nx;
+  const int64_t sz = ny * nx;
+  std::vector<int64_t> queue;
+  queue.reserve(4096);
+  std::vector<int64_t> sizes;
+  sizes.push_back(0);  // background
+  int32_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!mask[i] || labels[i]) continue;
+    ++next;
+    int64_t count = 0;
+    labels[i] = next;
+    queue.clear();
+    queue.push_back(i);
+    ++count;
+    while (!queue.empty()) {
+      int64_t v = queue.back();
+      queue.pop_back();
+      int64_t z = v / sz;
+      int64_t rem = v - z * sz;
+      int64_t y = rem / nx;
+      int64_t x = rem - y * nx;
+      const int64_t nbrs[6] = {v - sz, v - sy, v - 1, v + 1, v + sy, v + sz};
+      const bool ok[6] = {z > 0, y > 0, x > 0, x < nx - 1, y < ny - 1,
+                          z < nz - 1};
+      for (int k = 0; k < 6; ++k) {
+        if (!ok[k]) continue;
+        int64_t u = nbrs[k];
+        if (mask[u] && !labels[u]) {
+          labels[u] = next;
+          queue.push_back(u);
+          ++count;
+        }
+      }
+    }
+    sizes.push_back(count);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (!mask[i]) continue;
+    int64_t s = sizes[static_cast<size_t>(labels[i])];
+    if (s < min_area || s >= max_area) mask[i] = 0;
+  }
+}
+
+}  // extern "C"
