@@ -34,6 +34,11 @@ from .train.train import train_unet
 from .train.experiments import run_experiment, get_experiment_dict
 from .viewer import Viewer
 
+# The reference's __all__ exports a 'generate_ground_truth' that doesn't
+# exist (its star-import is broken); alias it to the ROI harvester so the
+# name resolves here.
+generate_ground_truth = ground_truth_from_ROI
+
 __all__ = [
     "train_from_viewer",
     "segment_data",

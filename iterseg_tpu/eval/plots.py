@@ -42,10 +42,12 @@ _NON_CHANNEL_COLS = ["Unnamed: 0", "epoch", "batch_num", "loss", "data_id"]
 
 
 def _box_strip(x, y, data, ax, palette="Set2", orient="h"):
-    sns.boxplot(x=x, y=y, data=data, palette=palette, ax=ax)
+    sns.boxplot(x=x, y=y, hue=x, data=data, palette=palette, ax=ax,
+                legend=False)
     sns.stripplot(
-        x=x, y=y, data=data, palette=palette, edgecolor="white", ax=ax,
-        size=3, jitter=1, zorder=0, dodge=True, linewidth=0.3,
+        x=x, y=y, hue=x, data=data, palette=palette, edgecolor="white",
+        ax=ax, size=3, jitter=1, zorder=0, dodge=True, linewidth=0.3,
+        legend=False,
     )
 
 
