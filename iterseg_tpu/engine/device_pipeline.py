@@ -203,7 +203,7 @@ class AffinityPipeline:
     # ------------------------------------------------------------------
 
     def segment_stack(self, stack, output_labels, skip_labelled=True,
-                      profile=None):
+                      profile=None, devices=None):
         """Pipelined 4D (t, z, y, x) segmentation.
 
         Frame t+1's device program is dispatched (JAX async) before frame
@@ -211,6 +211,13 @@ class AffinityPipeline:
         sequential host flood overlap — the TPU never waits for the heap.
         Writes into ``output_labels[t]`` and yields t (warm-restart
         semantics like ``segmentation_loop`` when ``skip_labelled``).
+
+        ``devices``: optional list of jax devices for **frame parallelism**
+        — frames are round-robined across chips by input placement (a
+        committed input runs the compiled program on its own device), with
+        the dispatch lookahead widened to keep every chip busy; results are
+        identical to single-device execution. This is the pod-scale frame
+        decomposition the reference's serial loop implies (SURVEY §2.4).
 
         Frames that trigger zero-slice removal (shape change) fall back to
         the unpipelined exact path.
@@ -224,24 +231,28 @@ class AffinityPipeline:
                 continue
             todo.append(t)
 
-        pending = []  # (t, device_outputs, kept, orig_shape)
+        lookahead = 1 if devices is None else len(devices)
+        pending = []  # (t, zyx, device_outputs, kept, orig_shape)
 
-        def dispatch(t):
+        def dispatch(i, t):
             vol = np.asarray(stack[t]).astype(np.float32)
             orig_shape = vol.shape
             vol, kept = prepare_volume(vol, return_kept=True)
             if vol.shape not in self._programs:
                 self._programs[vol.shape] = self._build_program(vol.shape)
             program, _ = self._programs[vol.shape]
-            outs = program(jnp.asarray(vol))  # async dispatch
+            x = jnp.asarray(vol)
+            if devices is not None:
+                x = jax.device_put(x, devices[i % len(devices)])
+            outs = program(x)  # async dispatch on x's device
             return (t, vol.shape, outs, kept, orig_shape)
 
-        for i, t in enumerate(todo):
-            if not pending:
-                pending.append(dispatch(t))
+        next_dispatch = 0
+        for i in range(len(todo)):
+            while next_dispatch < len(todo) and next_dispatch <= i + lookahead:
+                pending.append(dispatch(next_dispatch, todo[next_dispatch]))
+                next_dispatch += 1
             job = pending.pop(0)
-            if i + 1 < len(todo):
-                pending.append(dispatch(todo[i + 1]))  # overlap next frame
             jt, zyx, outs, kept, orig_shape = job
             labels = self._finalize(zyx, outs, profile=profile)
             labels = restore_labels(labels, kept, orig_shape)

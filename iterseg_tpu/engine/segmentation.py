@@ -207,12 +207,15 @@ def affinity_unet_watershed(
     chunk_size=(10, 256, 256),
     margin=(1, 64, 64),
     debug: bool = False,
+    *,
+    devices=None,
 ):
     """Segment a 3D volume or 4D stack with the affinity U-Net watershed.
 
-    Identical signature to iterseg ``segmentation.py:24-73``. The U-Net
-    produces 5 feature maps (z/y/x affinities, mask, centre points); seeded
-    affinity watershed turns them into instance labels.
+    Identical signature to iterseg ``segmentation.py:24-73``, plus the
+    keyword-only ``devices``: a list of jax devices to round-robin 4D
+    frames across (frame parallelism over the chip mesh; labels identical
+    to single-device execution).
     """
     return segmentation_wrapper(
         affinity_watershed_for_chunks,
@@ -226,6 +229,7 @@ def affinity_unet_watershed(
         chunk_size,
         margin,
         debug,
+        devices=devices,
     )
 
 
@@ -395,6 +399,7 @@ def segmentation_wrapper(
     margin,
     debug: bool = False,
     threaded: bool = False,
+    devices=None,
 ):
     """Allocate the output label store, run the per-frame loop, and (when a
     viewer is present) add the result layer. Parity:
@@ -406,6 +411,8 @@ def segmentation_wrapper(
     )
     if config is None:
         config = {}
+    if devices is not None:
+        config["devices"] = devices
 
     save_path = None
     if save_dir is not None and not debug:
@@ -487,7 +494,9 @@ def segmentation_loop(
             cache[key] = AffinityPipeline(config["unet"],
                                           chunk_size=chunk_size,
                                           margin=margin)
-        yield from cache[key].segment_stack(data, output_labels)
+        yield from cache[key].segment_stack(
+            data, output_labels, devices=config.get("devices")
+        )
         return
     for t in range(data.shape[0]):
         if np.any(np.asarray(output_labels[t])):

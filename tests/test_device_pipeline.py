@@ -141,3 +141,24 @@ class TestSegmentStack:
         )
         a = np.asarray(out[0])
         assert a.max() >= 0 and a.shape == stack.shape[1:]
+
+
+class TestFrameParallel:
+    def test_multi_device_frames_match_single(self, model):
+        """Frames round-robined across the CPU mesh == sequential labels."""
+        import jax
+
+        devices = jax.devices()
+        if len(devices) < 2:
+            pytest.skip("needs multiple devices")
+        vols = [blob_volume(seed=s) for s in (11, 12, 13, 14)]
+        stack = np.stack(vols)
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8))
+        out_multi = np.zeros(stack.shape, np.int32)
+        ts = list(pipe.segment_stack(stack, out_multi,
+                                     devices=devices[:4]))
+        assert ts == [0, 1, 2, 3]
+        out_single = np.zeros(stack.shape, np.int32)
+        list(pipe.segment_stack(stack, out_single, skip_labelled=False))
+        np.testing.assert_array_equal(out_multi, out_single)
