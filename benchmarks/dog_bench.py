@@ -1,0 +1,45 @@
+"""DoG-blob-watershed benchmark (BASELINE config #1): classical no-NN
+segmentation of a synthetic 64³ blob volume, plus a 256³ scaling point.
+
+Run: python benchmarks/dog_bench.py
+"""
+import json
+import sys
+import time
+
+import numpy as np
+from scipy import ndimage as ndi
+
+
+def blob_volume(size, n, seed=0):
+    r = np.random.default_rng(seed)
+    vol = np.zeros((size,) * 3, np.float32)
+    coords = np.stack([r.integers(2, size - 2, size=n) for _ in range(3)], 1)
+    vol[tuple(coords.T)] = 1.0
+    vol = ndi.gaussian_filter(vol, (1.0, 2.0, 2.0))
+    return (vol / vol.max()).astype(np.float32)
+
+
+def main():
+    sys.path.insert(0, ".")
+    from iterseg_tpu.engine.segmentation import dog_blob_watershed
+
+    for size, n in ((64, 60), (256, 4000)):
+        vol = blob_volume(size, n)
+        # warmup (device gaussian compiles)
+        dog_blob_watershed(None, vol, None, "warm", debug=True)
+        t0 = time.perf_counter()
+        labels = dog_blob_watershed(None, vol, None, "timed", debug=True)
+        dt = time.perf_counter() - t0
+        voxels = vol.size
+        print(json.dumps({
+            "metric": f"DoG-blob-watershed end-to-end on {size}^3",
+            "value": round(voxels / dt, 1),
+            "unit": "voxels/sec",
+            "objects": int(labels.max()),
+            "seconds": round(dt, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
