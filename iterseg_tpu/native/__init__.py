@@ -88,6 +88,14 @@ def get_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.edt3d.restype = None
+        lib.edt3d.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         lib.priority_flood.restype = None
         lib.priority_flood.argtypes = [
             ctypes.POINTER(ctypes.c_float),   # values
@@ -191,3 +199,20 @@ def band_filter_cc6(mask, min_area, max_area):
         ctypes.c_int64(int(max_area)),
     )
     return m.astype(bool)
+
+
+def edt3d(mask):
+    """Exact EDT (f64) of a 3D mask: distance to the nearest zero voxel.
+    Bit-identical to scipy.ndimage.distance_transform_edt."""
+    lib = get_lib()
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    assert m.ndim == 3
+    out = np.empty(m.shape, dtype=np.float64)
+    lib.edt3d(
+        _ptr(m, ctypes.c_uint8),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(m.shape[0]),
+        ctypes.c_int64(m.shape[1]),
+        ctypes.c_int64(m.shape[2]),
+    )
+    return out

@@ -19,6 +19,7 @@
 // loop of inference; it runs on host while the TPU computes the next
 // frame's feature maps.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -288,6 +289,82 @@ void band_filter_cc6(uint8_t* mask, int32_t* labels, int64_t nz, int64_t ny,
     int64_t s = sizes[static_cast<size_t>(labels[i])];
     if (s < min_area || s >= max_area) mask[i] = 0;
   }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+namespace {
+// Felzenszwalb & Huttenlocher 1D squared distance transform (exact).
+void dt1d(double* f, double* d, int64_t* v, double* z, int64_t n) {
+  int64_t k = 0;
+  v[0] = 0;
+  z[0] = -1e308;
+  z[1] = 1e308;
+  for (int64_t q = 1; q < n; ++q) {
+    double s;
+    while (true) {
+      double vq = static_cast<double>(v[k]);
+      s = ((f[q] + q * static_cast<double>(q)) - (f[v[k]] + vq * vq)) /
+          (2.0 * q - 2.0 * vq);
+      if (s > z[k]) break;
+      --k;
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    z[k + 1] = 1e308;
+  }
+  k = 0;
+  for (int64_t q = 0; q < n; ++q) {
+    while (z[k + 1] < q) ++k;
+    double dq = static_cast<double>(q - v[k]);
+    d[q] = dq * dq + f[v[k]];
+  }
+}
+}  // namespace
+
+// Exact Euclidean distance transform of a 3D mask: distance of nonzero
+// voxels to the nearest zero voxel (scipy.ndimage.distance_transform_edt
+// semantics; squared distances are exact integers, so the f64 sqrt is
+// bit-identical to scipy's).
+void edt3d(const uint8_t* mask, double* out, int64_t nz, int64_t ny,
+           int64_t nx) {
+  const int64_t n = nz * ny * nx;
+  const int64_t sy = nx;
+  const int64_t sz = ny * nx;
+  for (int64_t i = 0; i < n; ++i) out[i] = mask[i] ? 1e308 : 0.0;
+  int64_t maxdim = nx > ny ? (nx > nz ? nx : nz) : (ny > nz ? ny : nz);
+  std::vector<double> f(static_cast<size_t>(maxdim));
+  std::vector<double> d(static_cast<size_t>(maxdim));
+  std::vector<int64_t> v(static_cast<size_t>(maxdim));
+  std::vector<double> z(static_cast<size_t>(maxdim) + 1);
+  // x lines (contiguous)
+  for (int64_t zi = 0; zi < nz; ++zi)
+    for (int64_t yi = 0; yi < ny; ++yi) {
+      double* line = out + zi * sz + yi * sy;
+      dt1d(line, d.data(), v.data(), z.data(), nx);
+      for (int64_t x = 0; x < nx; ++x) line[x] = d[x];
+    }
+  // y lines
+  for (int64_t zi = 0; zi < nz; ++zi)
+    for (int64_t xi = 0; xi < nx; ++xi) {
+      double* base = out + zi * sz + xi;
+      for (int64_t y = 0; y < ny; ++y) f[static_cast<size_t>(y)] = base[y * sy];
+      dt1d(f.data(), d.data(), v.data(), z.data(), ny);
+      for (int64_t y = 0; y < ny; ++y) base[y * sy] = d[y];
+    }
+  // z lines
+  for (int64_t yi = 0; yi < ny; ++yi)
+    for (int64_t xi = 0; xi < nx; ++xi) {
+      double* base = out + yi * sy + xi;
+      for (int64_t zi = 0; zi < nz; ++zi)
+        f[static_cast<size_t>(zi)] = base[zi * sz];
+      dt1d(f.data(), d.data(), v.data(), z.data(), nz);
+      for (int64_t zi = 0; zi < nz; ++zi) base[zi * sz] = d[zi];
+    }
+  for (int64_t i = 0; i < n; ++i) out[i] = std::sqrt(out[i]);
 }
 
 }  // extern "C"

@@ -149,3 +149,13 @@ class TestNativeKernels:
         # python grid fallback (force by using float coords)
         ref = P._ensure_spacing(coords.astype(np.float64), 1.0)
         np.testing.assert_array_equal(coords[keep], ref.astype(np.int64))
+
+    def test_native_edt3d_matches_scipy_bitwise(self, blobs):
+        from iterseg_tpu import native
+
+        try:
+            ours = native.edt3d(blobs)
+        except native.NativeUnavailable:
+            pytest.skip("no native toolchain")
+        ref = ndi.distance_transform_edt(blobs)
+        np.testing.assert_array_equal(ours, ref)
