@@ -35,9 +35,14 @@ from ..ops.cc import size_band_filter
 from ..ops.watershed_oracle import neighbor_offsets
 from .. import native
 
-__all__ = ["AffinityPipeline"]
+__all__ = ["AffinityPipeline", "DoGPipeline"]
 
 _CAND_CAP = 1 << 18  # max pre-sorted peak candidates shipped to host
+
+# DoG programs close only over scalar config, so their compiled artifacts
+# are shared process-wide (each dog_blob_watershed call creates a fresh
+# pipeline; without this, every call would recompile ~20 s)
+_DOG_PROGRAM_CACHE = {}
 
 
 def _valid_grid(zyx, chunk_size, margin):
@@ -373,4 +378,177 @@ class AffinityPipeline:
             )
         t0 = tick("flood", t0)
         labels = output.reshape(pshape)[1:-1, 1:-1, 1:-1]
+        return labels
+
+
+class DoGPipeline:
+    """Device-resident DoG blob segmentation (transfer-minimal twin of
+    ``dog_blob_watershed_for_chunks``).
+
+    One jitted program computes, on the padded volume: the DoG threshold
+    mask (bit-packed for download), the blob_dog scale-space peak
+    candidates (pre-sorted, capacity-capped), and the exact min-plus EDT —
+    which stays device-resident and is shipped to the host flood through a
+    masked gather only (flood priorities are only read at masked voxels).
+
+    Cross-implementation note: the device f32 EDT differs from scipy's
+    f64→f32 cast by ≤1 ulp (double rounding), so labels vs the generic path
+    agree statistically rather than bitwise; the pipeline itself is
+    deterministic.
+    """
+
+    def __init__(self, min_sigma=1, max_sigma=1.5, threshold=0.02,
+                 sigma_ratio=1.6, cand_capacity: int = _CAND_CAP):
+        self.min_sigma = float(min_sigma)
+        self.max_sigma = float(max_sigma)
+        self.threshold = float(threshold)
+        self.sigma_ratio = float(sigma_ratio)
+        self.cand_capacity = cand_capacity
+        k = int(np.log(self.max_sigma / self.min_sigma)
+                / np.log(self.sigma_ratio) + 1)
+        self.sigma_list = np.array(
+            [self.min_sigma * self.sigma_ratio**i for i in range(k + 1)]
+        )
+        self._programs = {}
+        self._gathers = {}
+
+    def _build_program(self, zyx):
+        """zyx: the unpadded frame shape; all outputs live on zyx+2."""
+        thr = self.threshold
+        smin, smax = self.min_sigma, self.max_sigma
+        sigma_list = self.sigma_list
+        sf = 1.0 / (self.sigma_ratio - 1.0)
+        K = self.cand_capacity
+
+        def program(vol):
+            vol = vol.astype(jnp.float32)
+            vol_pad = jnp.pad(vol, 1)
+            # threshold mask from the classic DoG image
+            # (segmentation.py:635-637)
+            dog = gaussian(vol_pad, smin) - gaussian(vol_pad, smax)
+            mask = dog > thr
+            mbits = mask.ravel()
+            pad_bits = (-mbits.size) % 8
+            if pad_bits:
+                mbits = jnp.concatenate([mbits, jnp.zeros(pad_bits, bool)])
+            weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            mask_packed = jnp.sum(
+                mbits.reshape(-1, 8).astype(jnp.uint8) * weights, axis=1,
+                dtype=jnp.uint8,
+            )
+            # blob_dog scale space (ops/blob.py semantics)
+            gs = [gaussian(vol_pad, float(s)) for s in sigma_list]
+            cube = jnp.stack(
+                [(gs[i] - gs[i + 1]) * sf for i in range(len(gs) - 1)],
+                axis=-1,
+            )
+            cand = cube == maximum_filter(cube, 3, mode="nearest")
+            cand = cand & (cube > thr)
+            scores = jnp.where(cand, -cube, jnp.inf).ravel()
+            order = jnp.argsort(scores)[:K].astype(jnp.int32)
+            n_cand = jnp.sum(cand).astype(jnp.int32)
+            # exact EDT of the padded volume's nonzero support
+            # (segmentation.py:640); priorities for the flood are -distance
+            from ..ops.edt import edt as edt_device
+
+            neg_dist = -edt_device(vol_pad != 0)
+            return mask_packed, order, n_cand, neg_dist
+
+        return jax.jit(program)
+
+    def _gather_fn(self, capacity):
+        if capacity not in self._gathers:
+            @jax.jit
+            def gather(neg_dist, idx):
+                return neg_dist.ravel()[idx]
+
+            self._gathers[capacity] = gather
+        return self._gathers[capacity]
+
+    def segment(self, volume, out=None, profile=None):
+        """Labels of shape volume.shape + 2 (the padded frame, matching the
+        reference's ``current_output`` contract for the DoG path)."""
+        import time as _time
+
+        from ..ops.blob import _prune_blobs
+        from ..ops.peaks import _ensure_spacing
+
+        def tick(name, t0):
+            if profile is not None:
+                profile[name] = profile.get(name, 0.0) + (
+                    _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        volume = np.ascontiguousarray(volume, dtype=np.float32)
+        zyx = volume.shape
+        key = (zyx, self.min_sigma, self.max_sigma, self.threshold,
+               self.sigma_ratio, self.cand_capacity)
+        if key not in _DOG_PROGRAM_CACHE:
+            _DOG_PROGRAM_CACHE[key] = self._build_program(zyx)
+        t0 = _time.perf_counter()
+        mask_packed, order, n_cand, neg_dist = _DOG_PROGRAM_CACHE[key](
+            jnp.asarray(volume)
+        )
+        jax.block_until_ready(mask_packed)
+        t0 = tick("device_program", t0)
+
+        pshape = tuple(s + 2 for s in zyx)
+        nvox = int(np.prod(pshape))
+        mask = np.unpackbits(np.asarray(mask_packed))[:nvox].astype(
+            bool
+        ).reshape(pshape)
+        n_cand = int(n_cand)
+        k = len(self.sigma_list) - 1
+        cube_shape = pshape + (k,)
+        idx_sorted = np.asarray(order[: min(n_cand, self.cand_capacity)])
+        coords4 = np.stack(np.unravel_index(idx_sorted, cube_shape), axis=1)
+        t0 = tick("download", t0)
+
+        coords4 = _ensure_spacing(coords4, spacing=1)
+        lm = coords4.astype(np.float64)
+        sigmas = self.sigma_list[coords4[:, -1]][:, None]
+        blobs = np.hstack([lm[:, :-1], sigmas])
+        blobs = _prune_blobs(blobs, 0.5, sigma_dim=1)
+        centroids = np.zeros(pshape, dtype=bool)
+        if len(blobs):
+            idx = tuple(blobs.T.astype(int))[:-1]
+            centroids[idx] = True
+        from ..ops.cc import label_np
+
+        markers, _ = label_np(centroids)
+        t0 = tick("host_blobs", t0)
+
+        # flood frame is padded once more (skimage watershed semantics)
+        mask_w = np.pad(mask, 1, constant_values=False)
+        markers_w = np.pad(markers, 1, constant_values=0)
+        masked_idx = np.flatnonzero(mask_w.ravel()).astype(np.int32)
+        m = len(masked_idx)
+        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
+        capacity = min(capacity, mask_w.size)
+        # map flood-frame indices back to device (pshape) indices
+        wshape = mask_w.shape
+        c = np.stack(np.unravel_index(masked_idx, wshape), axis=1) - 1
+        dev_idx = np.ravel_multi_index(tuple(c.T), pshape).astype(np.int32)
+        idx_up = np.zeros(capacity, np.int32)
+        idx_up[:m] = dev_idx
+        vals = np.asarray(
+            self._gather_fn(capacity)(neg_dist, jnp.asarray(idx_up))
+        )[:m]
+        t0 = tick("gather_distance", t0)
+
+        img_r = np.zeros(mask_w.size, np.float32)
+        img_r[masked_idx] = vals
+        output = np.where(mask_w, markers_w, 0).astype(np.int32).ravel()
+        marker_locations = np.flatnonzero(output).astype(np.int64)
+        offsets, _ = neighbor_offsets(wshape)
+        val_chan = np.zeros(len(offsets), dtype=np.int64)
+        native.priority_flood(
+            img_r[None], offsets, val_chan, offsets, marker_locations,
+            img_r[marker_locations], mask_w.ravel(), output,
+        )
+        t0 = tick("flood", t0)
+        labels = output.reshape(wshape)[1:-1, 1:-1, 1:-1]
+        if out is not None:
+            out[...] = labels
         return labels

@@ -257,6 +257,7 @@ def dog_blob_watershed_prep_config(
         "max_sigma": max_sigma,
         "min_sigma": min_sigma,
         "threshold": threshold,
+        "pipeline_cache": {},
     }
 
 
@@ -268,6 +269,8 @@ def dog_blob_watershed_for_chunks(
     min_sigma,
     max_sigma,
     threshold,
+    pipeline_cache=None,
+    use_device_pipeline=True,
     **kwargs,
 ):
     """Whole-volume DoG blob segmentation (parity: segmentation.py:592-650).
@@ -275,7 +278,25 @@ def dog_blob_watershed_for_chunks(
     Pad by 1 → DoG mask → blob_dog seed points → EDT-landscape watershed.
     The chunk grid is intentionally ignored, as in the reference
     (segmentation.py:611-614).
+
+    Default fast path: the device-resident ``DoGPipeline`` (Gaussian scale
+    space, threshold mask, blob candidates and EDT computed on device; only
+    the packed mask, sorted candidates and masked distances transfer).
+    ``use_device_pipeline=False`` forces the host path.
     """
+    if use_device_pipeline:
+        from .device_pipeline import DoGPipeline
+
+        if pipeline_cache is None:
+            pipeline_cache = {}
+        key = ("dog", float(min_sigma), float(max_sigma), float(threshold))
+        if key not in pipeline_cache:
+            pipeline_cache[key] = DoGPipeline(
+                min_sigma=min_sigma, max_sigma=max_sigma,
+                threshold=threshold,
+            )
+        pipeline_cache[key].segment(input_volume, out=current_output)
+        return
     input_volume = np.pad(input_volume, pad_width=1)
     dog = dog_image(input_volume, min_sigma, max_sigma)
     mask = dog > threshold

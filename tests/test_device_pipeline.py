@@ -162,3 +162,44 @@ class TestFrameParallel:
         out_single = np.zeros(stack.shape, np.int32)
         list(pipe.segment_stack(stack, out_single, skip_labelled=False))
         np.testing.assert_array_equal(out_multi, out_single)
+
+
+class TestDoGPipeline:
+    def test_matches_host_path(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+        from iterseg_tpu.engine.segmentation import (
+            dog_blob_watershed_for_chunks,
+        )
+
+        vol = blob_volume(shape=(10, 48, 48), n=14, seed=21)
+        pipe = DoGPipeline()
+        fast = pipe.segment(vol)
+        ref_out = np.zeros(tuple(s + 2 for s in vol.shape), np.int32)
+        dog_blob_watershed_for_chunks(
+            vol, ref_out, None, None, 1, 1.5, 0.02,
+            use_device_pipeline=False,
+        )
+        assert fast.shape == ref_out.shape
+        agree = (fast == ref_out).mean()
+        # same statistical contract as the affinity pipeline: the device
+        # f32 EDT differs from scipy's f64 cast by <=1 ulp, flipping
+        # occasional watershed boundary ties
+        assert agree > 0.99, agree
+        assert abs(int(fast.max()) - int(ref_out.max())) <= 1
+
+    def test_deterministic(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        vol = blob_volume(shape=(10, 48, 48), n=14, seed=22)
+        pipe = DoGPipeline()
+        a = pipe.segment(vol)
+        b = pipe.segment(vol)
+        np.testing.assert_array_equal(a, b)
+
+    def test_registry_path_uses_pipeline(self, tmp_path):
+        from iterseg_tpu.engine.segmentation import dog_blob_watershed
+
+        vol = blob_volume(shape=(10, 48, 48), n=14, seed=23)
+        labels = dog_blob_watershed(None, vol, None, "dp", debug=True)
+        assert labels.shape == vol.shape
+        assert labels.max() > 5
