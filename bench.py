@@ -59,17 +59,21 @@ def get_params():
     return init_params(UNetSpec(1, 5), seed=0)
 
 
-def run_tpu(volume, params):
+def run_tpu(volume, params, compute_dtype=None):
+    import jax.numpy as jnp
+
     from iterseg_tpu.engine.predict import UNetModel
     from iterseg_tpu.engine.device_pipeline import AffinityPipeline
 
-    model = UNetModel(params)
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
+    model = UNetModel(params, compute_dtype=compute_dtype)
     # microscopy volumes are integer-typed: ship uint16 over the host link
     # and normalise (/max) on device — bit-identical f32 features
     vol_u16 = np.round(volume * 65535.0).astype(np.uint16)
     pipe = AffinityPipeline(model, chunk_size=CHUNK, margin=MARGIN,
                             normalize=True)
-    pipe.segment(vol_u16)  # warmup: compile both programs
+    pipe.segment(vol_u16)  # warmup: compile all programs
     times = []
     labels = None
     for _ in range(3):
@@ -77,7 +81,10 @@ def run_tpu(volume, params):
         t0 = time.perf_counter()
         labels = pipe.segment(vol_u16, profile=profile)
         times.append(time.perf_counter() - t0)
-        sys.stderr.write(f"run {times[-1]:.2f}s profile: {profile}\n")
+        sys.stderr.write(
+            f"[{jnp.dtype(compute_dtype).name}] run {times[-1]:.2f}s "
+            f"profile: {profile}\n"
+        )
     dt = float(np.median(times))
     return dt, labels
 
@@ -147,11 +154,22 @@ def main():
     voxels = int(np.prod(volume.shape))
     vps = voxels / dt
     vs = vps / baseline["voxels_per_sec"]
+    # secondary: bf16 forward on the MXU (opt-in mode; labels agree with
+    # f32 statistically, so it cannot be the bit-matching headline)
+    import jax.numpy as jnp
+
+    dt_bf16, labels_bf16 = run_tpu(volume, params,
+                                   compute_dtype=jnp.bfloat16)
+    vps_bf16 = voxels / dt_bf16
+    agree = float((np.asarray(labels_bf16) == np.asarray(labels)).mean())
     print(json.dumps({
         "metric": "unet+affinity-watershed end-to-end on 256^3, 1 chip",
         "value": round(vps, 1),
         "unit": "voxels/sec",
         "vs_baseline": round(vs, 2),
+        "bf16_voxels_per_sec": round(vps_bf16, 1),
+        "bf16_vs_baseline": round(vps_bf16 / baseline["voxels_per_sec"], 2),
+        "bf16_label_agreement": round(agree, 4),
     }))
 
 

@@ -1,0 +1,109 @@
+"""Training benchmark (BASELINE config #4): steps/sec for the jitted
+fused forward+backward+double-Adam train step on (10, 256, 256) crops,
+batch size 1 (reference training geometry: train.py:272-273,
+training_experiments.py:90-92).
+
+Run: python benchmarks/train_bench.py          (real TPU via the session env)
+
+Transfer budget (CLAUDE.md rule — the host link is ~35 MB/s here):
+each step uploads x (1,1,10,256,256) f32 = 2.6 MB and y (1,5,10,256,256)
+f32 = 13.1 MB -> ~15.7 MB/step ≈ 0.45 s of link time, which dominates the
+device compute. The loop therefore measures two numbers:
+
+  steps/sec (resident): inputs already on device — the pure device-step
+      rate (what a pod-local data pipeline would sustain);
+  steps/sec (streamed): fresh host arrays each step with double-buffered
+      async uploads (the train_unet loop's pattern) — link-bound here.
+
+Prints one JSON line per configuration.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CROP = (10, 256, 256)
+C = 5
+STEPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from iterseg_tpu.models.unet import UNetSpec, init_params
+    from iterseg_tpu.train.train import _make_steps, _split_params
+    from iterseg_tpu.train.losses import make_loss_function
+
+    spec = UNetSpec(1, C)
+    params = init_params(spec, seed=0)
+    trainable, bn_state = _split_params(params)
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(trainable)
+    loss_fn = make_loss_function("BCELoss")
+    train_step, _ = _make_steps(spec, optimizer, loss_fn, loss_fn, C,
+                                double_step=True,
+                                validate_in_train_mode=True)
+
+    r = np.random.default_rng(0)
+    x_np = r.random((1, 1) + CROP, np.float32)
+    y_np = (r.random((1, C) + CROP) > 0.5).astype(np.float32)
+
+    # compile + warmup
+    x = jnp.asarray(x_np)
+    y = jnp.asarray(y_np)
+    t0 = time.perf_counter()
+    trainable, bn_state, opt_state, loss, chan = train_step(
+        trainable, bn_state, opt_state, x, y, 0
+    )
+    jax.block_until_ready(loss)
+    sys.stderr.write(f"compile+first step: {time.perf_counter() - t0:.1f}s\n")
+
+    # device-resident rate (inputs stay on device)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        trainable, bn_state, opt_state, loss, chan = train_step(
+            trainable, bn_state, opt_state, x, y, 0
+        )
+    jax.block_until_ready(loss)
+    dt_resident = (time.perf_counter() - t0) / STEPS
+
+    # streamed rate: fresh host arrays, double-buffered async upload
+    # (upload of batch i+1 overlaps the dispatched step i)
+    batches = [
+        (np.ascontiguousarray(x_np + np.float32(i)),
+         np.ascontiguousarray(y_np))
+        for i in range(STEPS)
+    ]
+    xb = jnp.asarray(batches[0][0])
+    yb = jnp.asarray(batches[0][1])
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        trainable, bn_state, opt_state, loss, chan = train_step(
+            trainable, bn_state, opt_state, xb, yb, 0
+        )
+        if i + 1 < STEPS:
+            xb = jnp.asarray(batches[i + 1][0])
+            yb = jnp.asarray(batches[i + 1][1])
+    jax.block_until_ready(loss)
+    dt_streamed = (time.perf_counter() - t0) / STEPS
+
+    mb_per_step = (x_np.nbytes + y_np.nbytes) / 2**20
+    print(json.dumps({
+        "metric": "train step (10,256,256) crop, batch 1, double-Adam",
+        "value": round(1.0 / dt_resident, 3),
+        "unit": "steps/sec (device-resident)",
+        "steps_per_sec_streamed": round(1.0 / dt_streamed, 3),
+        "upload_mb_per_step": round(mb_per_step, 1),
+        "sec_resident": round(dt_resident, 3),
+        "sec_streamed": round(dt_streamed, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

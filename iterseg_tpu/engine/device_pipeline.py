@@ -10,17 +10,24 @@ only what the host flood actually needs:
   down:  threshold mask (uint8), the pre-sorted peak-candidate indices
          (int32, capacity-capped), Otsu scalar — and, after the host
          computes the size-filtered mask, the affinity values gathered at
-         masked voxels only (program B).
+         masked voxels only.
 
-One jitted program (A) covers: chunk-grid batched U-Net forward (scan over
-microbatches; chunks gathered and margin-crop re-assembled on device),
-affinity normalisation + padding, centroid smoothing, Otsu, and the sorted
-peak-candidate list. The affinity volume never leaves the device except
-through the masked gather.
+Bit-exactness with the generic path is by construction, not by luck: the
+fast and generic paths share the SAME compiled programs for every
+rounding-sensitive stage —
 
-Outputs are identical to the generic path: the same feature maps feed the
-same exact host flood (``ops.watershed.affinity_watershed``); equality is
-covered by tests.
+  F  chunk-grid batched U-Net forward + margin-crop reassembly
+     (``get_feature_program``; ``predict_volume`` runs the identical
+     executable and merely downloads the result),
+  P  feature-map preparation: affinity normalise/pad, centroid smoothing,
+     Otsu (``ops.watershed._prep_feature_maps`` — the very function
+     ``segment_output_image`` jits).
+
+The remaining device stage (threshold compare, candidate mask, mask
+bit-packing, argsort) is exact arithmetic on those shared outputs
+(comparisons/max/sort introduce no rounding), so identical inputs give
+identical labels whichever path runs. Covered by exact-equality tests in
+``tests/test_device_pipeline.py``.
 """
 from __future__ import annotations
 
@@ -30,12 +37,11 @@ import numpy as np
 
 from ..core.chunks import make_chunks, chunk_slices
 from ..ops.filters import gaussian, maximum_filter
-from ..ops.threshold import threshold_otsu
 from ..ops.cc import size_band_filter
 from ..ops.watershed_oracle import neighbor_offsets
 from .. import native
 
-__all__ = ["AffinityPipeline", "DoGPipeline"]
+__all__ = ["AffinityPipeline", "DoGPipeline", "get_feature_program"]
 
 _CAND_CAP = 1 << 18  # max pre-sorted peak candidates shipped to host
 
@@ -64,18 +70,155 @@ def _valid_grid(zyx, chunk_size, margin):
     return pads, padded, chunk, marg
 
 
+def _build_feature_program(model, zyx, chunk_size, margin, microbatch,
+                           normalize=False):
+    """Jitted ``vol (zyx) -> feature volume (C, zyx)``: overlapping chunk
+    grid (reference ``make_chunks``/``process_chunks`` semantics,
+    predict.py:38-96), scan-microbatched U-Net forward on the MXU, and
+    device-side margin-crop reassembly.
+
+    This is THE chunked forward: ``predict_volume`` and the device
+    pipelines run this same executable, which is what makes their label
+    outputs bit-identical (different XLA programs differ by ~1e-7 in the
+    feature maps, flipping watershed ties).
+    """
+    pads, padded, chunk, marg = _valid_grid(zyx, chunk_size, margin)
+    starts, crops = make_chunks(padded, chunk, marg)
+    n = len(starts)
+    B = int(min(microbatch, n))
+    nb = -(-n // B)
+    params = model.params
+    spec = model.spec
+    compute_dtype = model.compute_dtype
+
+    # per-axis piece lists for device-side assembly
+    z_starts = sorted({s[0] for s in starts})
+    y_starts = sorted({s[1] for s in starts})
+    x_starts = sorted({s[2] for s in starts})
+    start_index = {s: i for i, s in enumerate(starts)}
+    crop_of = {tuple(s): c for s, c in zip(starts, crops)}
+
+    from ..models import unet as unet_mod
+
+    if compute_dtype != jnp.float32:
+        fwd_params = {
+            k: (v.astype(compute_dtype) if v.dtype == jnp.float32 else v)
+            for k, v in params.items()
+        }
+    else:
+        fwd_params = params
+
+    def program(vol):
+        vol = vol.astype(jnp.float32)
+        if normalize:
+            vol = vol / jnp.max(vol)
+        vol = jnp.pad(vol, pads, mode="edge")
+        xs = jnp.stack(
+            [vol[chunk_slices(s, chunk)] for s in starts]
+        )[:, None]  # (n, 1, cz, cy, cx)
+        if nb * B != n:
+            xs = jnp.concatenate(
+                [xs, jnp.zeros((nb * B - n,) + xs.shape[1:], xs.dtype)]
+            )
+        xs = xs.reshape((nb, B) + xs.shape[1:])
+
+        def step(_, xb):
+            yb = unet_mod.forward(
+                fwd_params, spec, xb.astype(compute_dtype), train=False
+            )
+            return None, yb.astype(jnp.float32)
+
+        _, ys = jax.lax.scan(step, None, xs)
+        ys = ys.reshape((nb * B,) + ys.shape[2:])[:n]  # (n, C, cz, cy, cx)
+
+        # assemble margin-cropped pieces (crops tile `padded` exactly)
+        def piece(s):
+            i = start_index[s]
+            cr = crop_of[tuple(s)]
+            return ys[i][
+                (slice(None),) + tuple(slice(int(a), int(b)) for a, b in cr)
+            ]
+
+        zrows = []
+        for zs in z_starts:
+            yrows = []
+            for ysr in y_starts:
+                xpieces = [piece((zs, ysr, xsr)) for xsr in x_starts]
+                yrows.append(
+                    xpieces[0] if len(xpieces) == 1
+                    else jnp.concatenate(xpieces, axis=3)
+                )
+            zrows.append(
+                yrows[0] if len(yrows) == 1
+                else jnp.concatenate(yrows, axis=2)
+            )
+        out = (zrows[0] if len(zrows) == 1
+               else jnp.concatenate(zrows, axis=1))
+        return out[:, : zyx[0], : zyx[1], : zyx[2]]
+
+    return jax.jit(program)
+
+
+def get_feature_program(model, zyx, chunk_size=(10, 256, 256),
+                        margin=(1, 64, 64), microbatch=None,
+                        normalize=False):
+    """The (cached) chunked-forward program for this model/geometry.
+
+    Cached on the model object, so ``predict_volume`` and every pipeline
+    built on the same model share one compiled executable per geometry.
+    ``microbatch=None`` resolves via the shared activation-budget heuristic
+    so both paths agree on the scan batch (batch size is part of the XLA
+    program, hence of the numerics).
+    """
+    zyx = tuple(int(s) for s in zyx)
+    chunk_size = tuple(int(c) for c in chunk_size)
+    margin = tuple(int(m) for m in margin)
+    if microbatch is None:
+        from .predict import _pick_batch_size
+
+        _, padded, chunk, marg = _valid_grid(zyx, chunk_size, margin)
+        starts, _ = make_chunks(padded, chunk, marg)
+        microbatch = _pick_batch_size(len(starts), chunk,
+                                      model.out_channels)
+    key = (zyx, chunk_size, margin, int(microbatch), bool(normalize),
+           jnp.dtype(model.compute_dtype).name)
+    cache = getattr(model, "_feature_programs", None)
+    if cache is None:
+        cache = {}
+        model._feature_programs = cache
+    if key not in cache:
+        cache[key] = _build_feature_program(
+            model, zyx, chunk_size, margin, microbatch, normalize
+        )
+    return cache[key]
+
+
+def _pack_mask_bits(mask):
+    """Pack a boolean array MSB-first (np.unpackbits layout) into uint8."""
+    mbits = mask.ravel()
+    pad_bits = (-mbits.size) % 8
+    if pad_bits:
+        mbits = jnp.concatenate([mbits, jnp.zeros(pad_bits, bool)])
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(
+        mbits.reshape(-1, 8).astype(jnp.uint8) * weights, axis=1,
+        dtype=jnp.uint8,
+    )
+
+
 class AffinityPipeline:
     """U-Net → watershed segmentation of one zyx volume, device-resident."""
 
     def __init__(self, model, chunk_size=(10, 256, 256),
                  margin=(1, 64, 64), absolute_thresh=None,
-                 microbatch: int = 8, cand_capacity: int = _CAND_CAP,
+                 microbatch=None, cand_capacity: int = _CAND_CAP,
                  normalize: bool = False):
         self.model = model
         self.chunk_size = tuple(chunk_size)
         self.margin = tuple(margin)
         self.absolute_thresh = absolute_thresh
-        self.microbatch = microbatch
+        self.microbatch = microbatch  # None = shared heuristic (must match
+        # predict_volume's, or the scan batch — hence the numerics — differs)
         self.cand_capacity = cand_capacity
         self.normalize = normalize  # divide by max on device (device twin
         # of segment_single_volume's host normalisation; bit-identical f32)
@@ -83,102 +226,26 @@ class AffinityPipeline:
         self._gathers = {}
 
     # ------------------------------------------------------------------
-    # program A: volume -> (aff_pad[device], mask u8, cand order, n, otsu)
+    # device programs: F (shared chunked forward), P (shared feature prep,
+    # ops.watershed._prep_feature_maps), C (mask packing + peak candidates)
     # ------------------------------------------------------------------
 
-    def _build_program(self, zyx):
-        pads, padded, chunk, marg = _valid_grid(zyx, self.chunk_size,
-                                                self.margin)
-        starts, crops = make_chunks(padded, chunk, marg)
-        n = len(starts)
-        B = int(min(self.microbatch, n))
-        nb = -(-n // B)
-        params = self.model.params
-        spec = self.model.spec
+    def _cand_program(self, zyx):
+        """mask packing + sorted peak candidates from P's outputs.
+
+        Everything here is exact arithmetic (compare / max-filter / stable
+        argsort — no rounding), so it need not share an executable with the
+        generic path to be bit-consistent with it.
+        """
+        if zyx in self._programs:
+            return self._programs[zyx]
         K = self.cand_capacity
-        absolute_thresh = self.absolute_thresh
 
-        # per-axis piece lists for device-side assembly
-        z_starts = sorted({s[0] for s in starts})
-        y_starts = sorted({s[1] for s in starts})
-        x_starts = sorted({s[2] for s in starts})
-        start_index = {s: i for i, s in enumerate(starts)}
-        crop_of = {tuple(s): c for s, c in zip(starts, crops)}
-
-        from ..models import unet as unet_mod
-        normalize = self.normalize
-
-        def program(vol):
-            vol = vol.astype(jnp.float32)
-            if normalize:
-                vol = vol / jnp.max(vol)
-            vol = jnp.pad(vol, pads, mode="edge")
-            xs = jnp.stack(
-                [vol[chunk_slices(s, chunk)] for s in starts]
-            )[:, None]  # (n, 1, cz, cy, cx)
-            if nb * B != n:
-                xs = jnp.concatenate(
-                    [xs, jnp.zeros((nb * B - n,) + xs.shape[1:], xs.dtype)]
-                )
-            xs = xs.reshape((nb, B) + xs.shape[1:])
-
-            def step(_, xb):
-                return None, unet_mod.forward(params, spec, xb, train=False)
-
-            _, ys = jax.lax.scan(step, None, xs)
-            ys = ys.reshape((nb * B,) + ys.shape[2:])[:n]  # (n, C, cz, cy, cx)
-
-            # assemble margin-cropped pieces (crops tile `padded` exactly)
-            def piece(s):
-                i = start_index[s]
-                cr = crop_of[tuple(s)]
-                return ys[i][
-                    (slice(None),) + tuple(slice(int(a), int(b))
-                                           for a, b in cr)
-                ]
-
-            zrows = []
-            for zs in z_starts:
-                yrows = []
-                for ysr in y_starts:
-                    xpieces = [piece((zs, ysr, xsr)) for xsr in x_starts]
-                    yrows.append(
-                        xpieces[0] if len(xpieces) == 1
-                        else jnp.concatenate(xpieces, axis=3)
-                    )
-                zrows.append(
-                    yrows[0] if len(yrows) == 1
-                    else jnp.concatenate(yrows, axis=2)
-                )
-            out = (zrows[0] if len(zrows) == 1
-                   else jnp.concatenate(zrows, axis=1))
-            out = out[:, : zyx[0], : zyx[1], : zyx[2]]
-
-            aff = out[:3]
-            aff = aff / jnp.max(aff, axis=(1, 2, 3)).reshape(-1, 1, 1, 1)
-            aff_pad = jnp.pad(aff, ((0, 0), (1, 1), (1, 1), (1, 1)))
-            masking_img = out[3]
-            cent = out[4]
-            cent_smooth = gaussian(cent, (0.0, 1.0, 1.0))
-            if absolute_thresh is None:
-                thresh = threshold_otsu(gaussian(masking_img, 2.0))
-            else:
-                thresh = jnp.float32(absolute_thresh)
+        def program(cent_smooth, masking_img, thresh):
             mask = masking_img > thresh
             # (size-band filtering happens on host: scipy's union-find CC
             # beats the device pointer-jumping loop end-to-end here)
-            # pack mask bits MSB-first (np.unpackbits layout) for download
-            mbits = mask.ravel()
-            pad_bits = (-mbits.size) % 8
-            if pad_bits:
-                mbits = jnp.concatenate(
-                    [mbits, jnp.zeros(pad_bits, bool)]
-                )
-            weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-            mask_packed = jnp.sum(
-                mbits.reshape(-1, 8).astype(jnp.uint8) * weights, axis=1,
-                dtype=jnp.uint8,
-            )
+            mask_packed = _pack_mask_bits(mask)
             # peak candidates (min_distance=1, exclude 1-voxel border)
             cand = (cent_smooth == maximum_filter(cent_smooth, 3,
                                                   mode="nearest"))
@@ -191,9 +258,40 @@ class AffinityPipeline:
             scores = jnp.where(cand, -cent_smooth, jnp.inf).ravel()
             order = jnp.argsort(scores)[:K].astype(jnp.int32)
             n_cand = jnp.sum(cand).astype(jnp.int32)
-            return aff_pad, mask_packed, order, n_cand, thresh, cent_smooth
+            return mask_packed, order, n_cand
 
-        return jax.jit(program), (pads, padded, chunk, marg)
+        self._programs[zyx] = jax.jit(program)
+        return self._programs[zyx]
+
+    def _device_outputs(self, x):
+        """Run F → P → C on a device-resident volume; returns the finalize
+        tuple. All dispatches are async (no host sync)."""
+        from ..ops.watershed import _prep_feature_maps
+
+        zyx = tuple(int(s) for s in x.shape)
+        program = get_feature_program(
+            self.model, zyx, self.chunk_size, self.margin,
+            microbatch=self.microbatch, normalize=self.normalize,
+        )
+        out = program(x)
+        aff_pad, cent_smooth, otsu = _prep_feature_maps(
+            out[:3], out[4], out[3]
+        )
+        if self.absolute_thresh is None:
+            thresh = otsu
+        else:
+            # the host path compares f32 > float64(absolute_thresh); the
+            # device compares in f32, so use the largest f32 <= thresh —
+            # (x > t32) then matches (x > t64) for every f32 x exactly
+            t64 = float(self.absolute_thresh)
+            t32 = np.float32(t64)
+            if t32 > t64:
+                t32 = np.nextafter(t32, np.float32(-np.inf))
+            thresh = jnp.float32(t32)
+        mask_packed, order, n_cand = self._cand_program(zyx)(
+            cent_smooth, out[3], thresh
+        )
+        return aff_pad, mask_packed, order, n_cand, thresh, cent_smooth
 
     def _gather_fn(self, capacity):
         if capacity not in self._gathers:
@@ -243,13 +341,10 @@ class AffinityPipeline:
             vol = np.asarray(stack[t]).astype(np.float32)
             orig_shape = vol.shape
             vol, kept = prepare_volume(vol, return_kept=True)
-            if vol.shape not in self._programs:
-                self._programs[vol.shape] = self._build_program(vol.shape)
-            program, _ = self._programs[vol.shape]
             x = jnp.asarray(vol)
             if devices is not None:
                 x = jax.device_put(x, devices[i % len(devices)])
-            outs = program(x)  # async dispatch on x's device
+            outs = self._device_outputs(x)  # async dispatch on x's device
             return (t, vol.shape, outs, kept, orig_shape)
 
         next_dispatch = 0
@@ -279,13 +374,9 @@ class AffinityPipeline:
         else:
             volume = np.ascontiguousarray(volume)
         zyx = volume.shape
-        key = zyx
-        if key not in self._programs:
-            self._programs[key] = self._build_program(zyx)
-        program, _ = self._programs[key]
 
         t0 = _time.perf_counter()
-        outs = program(jnp.asarray(volume))
+        outs = self._device_outputs(jnp.asarray(volume))
         jax.block_until_ready(outs[1])
         if profile is not None:
             profile["device_program"] = profile.get(
@@ -387,14 +478,12 @@ class DoGPipeline:
 
     One jitted program computes, on the padded volume: the DoG threshold
     mask (bit-packed for download), the blob_dog scale-space peak
-    candidates (pre-sorted, capacity-capped), and the exact min-plus EDT —
-    which stays device-resident and is shipped to the host flood through a
-    masked gather only (flood priorities are only read at masked voxels).
-
-    Cross-implementation note: the device f32 EDT differs from scipy's
-    f64→f32 cast by ≤1 ulp (double rounding), so labels vs the generic path
-    agree statistically rather than bitwise; the pipeline itself is
-    deterministic.
+    candidates (pre-sorted, capacity-capped), and the exact min-plus
+    SQUARED EDT — which stays device-resident and is shipped to the host
+    flood through a masked gather only (flood priorities are only read at
+    masked voxels). Squared distances are exact integers, so the host-side
+    float64 sqrt reproduces scipy's EDT bit-for-bit: labels are exactly
+    equal to the host path (tested).
     """
 
     def __init__(self, min_sigma=1, max_sigma=1.5, threshold=0.02,
@@ -447,20 +536,21 @@ class DoGPipeline:
             scores = jnp.where(cand, -cube, jnp.inf).ravel()
             order = jnp.argsort(scores)[:K].astype(jnp.int32)
             n_cand = jnp.sum(cand).astype(jnp.int32)
-            # exact EDT of the padded volume's nonzero support
-            # (segmentation.py:640); priorities for the flood are -distance
-            from ..ops.edt import edt as edt_device
+            # exact SQUARED EDT of the padded volume's nonzero support
+            # (segmentation.py:640); integers, so exact in f32 — the host
+            # takes the f64 sqrt, matching scipy's f64 EDT bitwise
+            from ..ops.edt import edt_sq
 
-            neg_dist = -edt_device(vol_pad != 0)
-            return mask_packed, order, n_cand, neg_dist
+            dist_sq = edt_sq(vol_pad != 0)
+            return mask_packed, order, n_cand, dist_sq
 
         return jax.jit(program)
 
     def _gather_fn(self, capacity):
         if capacity not in self._gathers:
             @jax.jit
-            def gather(neg_dist, idx):
-                return neg_dist.ravel()[idx]
+            def gather(dist_sq, idx):
+                return dist_sq.ravel()[idx]
 
             self._gathers[capacity] = gather
         return self._gathers[capacity]
@@ -487,7 +577,7 @@ class DoGPipeline:
         if key not in _DOG_PROGRAM_CACHE:
             _DOG_PROGRAM_CACHE[key] = self._build_program(zyx)
         t0 = _time.perf_counter()
-        mask_packed, order, n_cand, neg_dist = _DOG_PROGRAM_CACHE[key](
+        mask_packed, order, n_cand, dist_sq = _DOG_PROGRAM_CACHE[key](
             jnp.asarray(volume)
         )
         jax.block_until_ready(mask_packed)
@@ -532,13 +622,15 @@ class DoGPipeline:
         dev_idx = np.ravel_multi_index(tuple(c.T), pshape).astype(np.int32)
         idx_up = np.zeros(capacity, np.int32)
         idx_up[:m] = dev_idx
-        vals = np.asarray(
-            self._gather_fn(capacity)(neg_dist, jnp.asarray(idx_up))
+        vals_sq = np.asarray(
+            self._gather_fn(capacity)(dist_sq, jnp.asarray(idx_up))
         )[:m]
         t0 = tick("gather_distance", t0)
 
+        # flood priorities: -sqrt computed in float64 of the exact squared
+        # distances == f32(-scipy f64 EDT), bit-identical to the host path
         img_r = np.zeros(mask_w.size, np.float32)
-        img_r[masked_idx] = vals
+        img_r[masked_idx] = -np.sqrt(vals_sq.astype(np.float64))
         output = np.where(mask_w, markers_w, 0).astype(np.int32).ravel()
         marker_locations = np.flatnonzero(output).astype(np.int64)
         offsets, _ = neighbor_offsets(wshape)

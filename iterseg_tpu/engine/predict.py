@@ -107,11 +107,26 @@ def predict_volume(
     """Run the U-Net over a zyx volume via the overlapping chunk grid.
 
     Returns the (C, z, y, x) feature volume. Margin-crop blending matches
-    ``process_chunks`` (predict.py:64-96) exactly; the compute is batched
-    and asynchronous instead of per-chunk synchronous.
+    ``process_chunks`` (predict.py:64-96) exactly.
+
+    Default route (``batch_size=None``): the SAME compiled chunked-forward
+    program the device pipelines run (``device_pipeline
+    .get_feature_program``) — so feature volumes, and hence watershed
+    labels, are bit-identical between the generic and device-resident
+    paths. Passing ``batch_size`` forces the legacy host-blended streaming
+    route (a different XLA program; agrees to ~1e-7).
     """
     volume = np.asarray(volume, dtype=np.float32)
     orig_zyx = volume.shape[-3:]
+    if batch_size is None and volume.ndim == 3:
+        from .device_pipeline import get_feature_program
+
+        program = get_feature_program(model, orig_zyx, chunk_size, margin)
+        out = np.asarray(program(jnp.asarray(volume)))
+        if output_volume is not None:
+            output_volume[...] = out
+            return output_volume
+        return out
     # The U-Net's pool/crop ladder admits only z even and y/x multiples of
     # 16 (the 256→129→65→33→17 ladder inverted); pad undersized axes with
     # edge values (cropped after) and clamp chunks to valid sizes. The
@@ -144,7 +159,7 @@ def predict_volume(
     padded = zyx != orig_zyx
     if output_volume is None or padded:
         output_volume = np.zeros((C,) + zyx, dtype=np.float32)
-    if batch_size is None:
+    if batch_size is None:  # legacy route with a 4D input
         batch_size = _pick_batch_size(n, chunk_size, C)
 
     # gather chunks (host-side views, cheap)

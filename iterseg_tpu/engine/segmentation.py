@@ -96,13 +96,18 @@ def dog_image(input_vol, sigma_min, sigma_max):
 
 
 def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
-                                   reference_layer):
+                                   reference_layer, compute_dtype=None):
     """Resolve the U-Net source and allocate the scratch feature volume.
 
     Parity with ``affinity_watershed_prep_config`` (segmentation.py:80-135),
     with its path-handling bug fixed: a JSON config whose ``unet`` key holds
     an actual path is honoured (the reference leaves ``unet`` unbound and
     crashes, segmentation.py:98-107).
+
+    ``compute_dtype``: TPU-native extension — "bfloat16" runs the U-Net
+    forward in bf16 on the MXU (~2x faster); labels then agree with the
+    f32 path only statistically, so it is strictly opt-in (keyword or a
+    ``"compute_dtype"`` key in the JSON config).
     """
     unet = None
     affinities_extent = 1
@@ -113,6 +118,8 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
             config = read_config_json(unet_or_config_file)
             unet = config.get("unet")
             affinities_extent = config.get("affinities_extent") or 1
+            if compute_dtype is None:
+                compute_dtype = config.get("compute_dtype")
             if unet == "labels layer":
                 unet = reference_layer.metadata["unet"]
             if unet == "default":
@@ -125,7 +132,12 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
             "Make sure a unet checkpoint lives here..."
         )
         assert os.path.exists(unet), m
-    model = load_unet(unet)
+    if compute_dtype is None:
+        model = load_unet(unet)
+    else:
+        import jax.numpy as jnp
+
+        model = load_unet(unet, compute_dtype=jnp.dtype(compute_dtype))
     num_pred_channels = 3 * affinities_extent + 2
     data = input_volume_layer.data
     output_volume = np.zeros(
@@ -151,9 +163,11 @@ def affinity_watershed_for_chunks(
 
     Default fast path: the device-resident ``AffinityPipeline`` (feature
     maps never leave the device; only the mask, sorted peak candidates and
-    masked affinities are transferred). Produces labels identical to the
-    generic predict+segment_output_image path (tested); set
-    ``use_device_pipeline=False`` to force the generic path.
+    masked affinities are transferred). Labels are bit-identical to the
+    generic predict+segment_output_image path — both run the same compiled
+    forward/feature-prep programs (``assert_array_equal``-tested in
+    tests/test_device_pipeline.py); set ``use_device_pipeline=False`` to
+    force the generic path.
     """
     if unet is None:
         raise ValueError("unet must not be None")
@@ -209,17 +223,26 @@ def affinity_unet_watershed(
     debug: bool = False,
     *,
     devices=None,
+    compute_dtype=None,
 ):
     """Segment a 3D volume or 4D stack with the affinity U-Net watershed.
 
-    Identical signature to iterseg ``segmentation.py:24-73``, plus the
-    keyword-only ``devices``: a list of jax devices to round-robin 4D
-    frames across (frame parallelism over the chip mesh; labels identical
-    to single-device execution).
+    Identical signature to iterseg ``segmentation.py:24-73``, plus two
+    keyword-only TPU extensions: ``devices`` — a list of jax devices to
+    round-robin 4D frames across (frame parallelism over the chip mesh;
+    labels identical to single-device execution) — and ``compute_dtype``
+    — e.g. "bfloat16" to run the forward on the MXU in bf16 (~2x faster;
+    labels agree with f32 statistically, not bitwise).
     """
+    prep = affinity_watershed_prep_config
+    if compute_dtype is not None:
+        def prep(layer, unet_or_cfg, ref, _cd=compute_dtype):
+            return affinity_watershed_prep_config(
+                layer, unet_or_cfg, ref, compute_dtype=_cd
+            )
     return segmentation_wrapper(
         affinity_watershed_for_chunks,
-        affinity_watershed_prep_config,
+        prep,
         napari_viewer,
         input_volume_layer,
         save_dir,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import ndimage as ndi
 
-__all__ = ["edt", "edt_np"]
+__all__ = ["edt", "edt_sq", "edt_np"]
 
 _BIG = 1e12
 
@@ -48,17 +48,31 @@ def _minplus_sq_axis(d: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 @jax.jit
+def edt_sq(mask):
+    """SQUARED Euclidean distance to the nearest zero/False voxel (float32).
+
+    Squared distances are exact integers (sums of three squares), and the
+    min-plus recursion only adds/compares integers, so every value is exact
+    in f32 up to 2**24 — i.e. for any distance under 4096 voxels.  Taking
+    ``sqrt`` of this in float64 on the host reproduces scipy's float64 EDT
+    bit-for-bit; that is how the DoG device pipeline stays exactly equal to
+    the host path (the on-device f32 sqrt differs from f64 by <=1 ulp).
+    """
+    m = jnp.asarray(mask)
+    d = jnp.where(m != 0, jnp.float32(_BIG), jnp.float32(0.0))
+    for axis in range(m.ndim):
+        d = _minplus_sq_axis(d, axis)
+    return d
+
+
+@jax.jit
 def edt(mask):
     """Euclidean distance to the nearest zero/False voxel (float32).
 
     ``mask`` nonzero voxels get their distance to the nearest zero voxel,
     matching ``scipy.ndimage.distance_transform_edt(mask)``.
     """
-    m = jnp.asarray(mask)
-    d = jnp.where(m != 0, jnp.float32(_BIG), jnp.float32(0.0))
-    for axis in range(m.ndim):
-        d = _minplus_sq_axis(d, axis)
-    return jnp.sqrt(d)
+    return jnp.sqrt(edt_sq(mask))
 
 
 def edt_np(mask):

@@ -65,7 +65,10 @@ class TrainState:
 
 def _make_steps(spec, optimizer, loss_fn, chan_log_fn, n_channels,
                 double_step, validate_in_train_mode):
-    @jax.jit
+    # params/opt-state buffers are donated: the updated pytrees reuse the
+    # old device memory, halving the train step's HBM footprint (on CPU
+    # backends donation is a silent no-op)
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(trainable, bn_state, opt_state, x, y, epoch):
         def loss_wrapped(tr):
             params = {**tr, **bn_state}
@@ -191,7 +194,10 @@ def train_unet(
     def _prep(img, tgt):
         xb = np.asarray(load_tensor_from_zarr(0, [img]), dtype=np.float32)
         yb = np.asarray(load_tensor_from_zarr(0, [tgt]), dtype=np.float32)
-        return xb[None, None], yb[None]
+        # async uploads: the host→device copy of batch i+1 overlaps the
+        # device compute of batch i (the thin host link is the training
+        # bottleneck — see benchmarks/train_bench.py for the budget)
+        return jnp.asarray(xb[None, None]), jnp.asarray(yb[None])
 
     v_y_hats = None
 
@@ -219,11 +225,16 @@ def train_unet(
         if validate and e == 0:
             v_y_hats = run_validation(0, 0)
         running_loss = 0.0
+        batch = _prep(x[0], y[0]) if len(x) else None
         for i in range(len(x)):
-            xb, yb = _prep(x[i], y[i])
+            xb, yb = batch
             trainable, bn_state, opt_state, loss, chan = train_step(
                 trainable, bn_state, opt_state, xb, yb, e
             )
+            if i + 1 < len(x):
+                # double-buffer: read + upload the next chunk while the
+                # dispatched step runs on device
+                batch = _prep(x[i + 1], y[i + 1])
             loss = float(loss)
             chan = np.asarray(chan)
             loss_dict["epoch"].append(e)

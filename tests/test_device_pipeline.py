@@ -47,15 +47,10 @@ class TestAffinityPipeline:
             out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4
         )
         assert labels_fast.shape == labels_ref.shape
-        # The scan-based and microbatch forwards are different XLA programs
-        # and differ by ~1e-7 in the feature maps; watershed decision
-        # boundaries flip on those near-ties, so cross-path equality is
-        # statistical (float-exact equality of the shared postprocessing is
-        # covered by test_watershed.py device-vs-host and by the
-        # determinism test below).
-        agree = (labels_fast == labels_ref).mean()
-        assert agree > 0.99, agree
-        assert abs(int(labels_fast.max()) - int(labels_ref.max())) <= 2
+        # bit-exact: both paths run the same compiled forward and feature
+        # prep programs (get_feature_program / _prep_feature_maps), and the
+        # remaining stages are exact arithmetic
+        np.testing.assert_array_equal(labels_fast, labels_ref)
 
     def test_multichunk_grid(self, model):
         vol = blob_volume(shape=(6, 96, 96), n=40)
@@ -67,8 +62,7 @@ class TestAffinityPipeline:
         labels_ref, _, _ = segment_output_image(
             out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4
         )
-        agree = (labels_fast == labels_ref).mean()
-        assert agree > 0.99, agree
+        np.testing.assert_array_equal(labels_fast, labels_ref)
 
     def test_absolute_thresh(self, model):
         vol = blob_volume()
@@ -81,8 +75,23 @@ class TestAffinityPipeline:
             out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4,
             absolute_thresh=0.5,
         )
-        agree = (labels_fast == labels_ref).mean()
-        assert agree > 0.99, agree
+        np.testing.assert_array_equal(labels_fast, labels_ref)
+
+    def test_absolute_thresh_not_f32_representable(self, model):
+        """The host path compares f32 features > float64 threshold; the
+        device compares in f32 against the largest f32 <= threshold — the
+        two must agree for thresholds like 0.4 with no exact f32 form."""
+        vol = blob_volume(seed=9)
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8), absolute_thresh=0.4)
+        labels_fast = pipe.segment(vol)
+        out_vol = predict_volume(model, vol, chunk_size=(6, 64, 64),
+                                 margin=(1, 8, 8))
+        labels_ref, _, _ = segment_output_image(
+            out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4,
+            absolute_thresh=0.4,
+        )
+        np.testing.assert_array_equal(labels_fast, labels_ref)
 
     def test_deterministic(self, model):
         """Same pipeline, same input -> bit-identical labels."""
@@ -180,12 +189,9 @@ class TestDoGPipeline:
             use_device_pipeline=False,
         )
         assert fast.shape == ref_out.shape
-        agree = (fast == ref_out).mean()
-        # same statistical contract as the affinity pipeline: the device
-        # f32 EDT differs from scipy's f64 cast by <=1 ulp, flipping
-        # occasional watershed boundary ties
-        assert agree > 0.99, agree
-        assert abs(int(fast.max()) - int(ref_out.max())) <= 1
+        # bit-exact: the device ships the SQUARED EDT (exact integers) and
+        # the host takes the f64 sqrt, reproducing scipy's f64 EDT
+        np.testing.assert_array_equal(fast, ref_out)
 
     def test_deterministic(self):
         from iterseg_tpu.engine.device_pipeline import DoGPipeline

@@ -87,6 +87,18 @@ class TestAffinityUNetWatershed:
         assert labels.shape == vol.shape
         assert labels.dtype == np.int32
 
+    def test_compute_dtype_bf16(self, tiny_unet):
+        """Opt-in bf16 forward: plumbs through to the device pipeline."""
+        vol, _ = blobby_volume(shape=(6, 64, 64))
+        labels = affinity_unet_watershed(
+            None, vol, save_dir=None, name="auw-bf16",
+            unet_or_config_file=tiny_unet,
+            chunk_size=(6, 64, 64), margin=(1, 8, 8), debug=True,
+            compute_dtype="bfloat16",
+        )
+        assert labels.shape == vol.shape
+        assert labels.dtype == np.int32
+
     def test_config_json(self, tiny_unet, tmp_path):
         import json
 
