@@ -7,10 +7,11 @@ end, so this pipeline keeps everything resident on device and transfers
 only what the host flood actually needs:
 
   up:    the raw volume (once)
-  down:  threshold mask (uint8), the pre-sorted peak-candidate indices
-         (int32, capacity-capped), Otsu scalar — and, after the host
-         computes the size-filtered mask, the affinity values gathered at
-         masked voxels only.
+  down:  threshold mask (bit-packed uint8), the live prefix of the
+         pre-sorted peak-candidate indices (int32), Otsu scalar — and the
+         affinity values gathered at pre-size-filter masked voxels only
+         (a superset of the voxels the flood reads), downloaded async
+         UNDER the host's spacing + size-filter work.
 
 Bit-exactness with the generic path is by construction, not by luck: the
 fast and generic paths share the SAME compiled programs for every
@@ -224,6 +225,7 @@ class AffinityPipeline:
         # of segment_single_volume's host normalisation; bit-identical f32)
         self._programs = {}
         self._gathers = {}
+        self._aff_host = {}  # pshape -> (3, n) scatter buffer (see _finalize)
 
     # ------------------------------------------------------------------
     # device programs: F (shared chunked forward), P (shared feature prep,
@@ -291,6 +293,15 @@ class AffinityPipeline:
         mask_packed, order, n_cand = self._cand_program(zyx)(
             cent_smooth, out[3], thresh
         )
+        # start the D2H transfers the host half always needs the moment the
+        # device produces them (the copy engine runs beside compute, so in
+        # the pipelined 4D path frame t's downloads overlap frame t+1's
+        # program)
+        for a in (mask_packed, n_cand):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
         return aff_pad, mask_packed, order, n_cand, thresh, cent_smooth
 
     def _gather_fn(self, capacity):
@@ -302,6 +313,12 @@ class AffinityPipeline:
 
             self._gathers[capacity] = gather
         return self._gathers[capacity]
+
+    def _slice_fn(self, k):
+        key = ("slice", k)
+        if key not in self._gathers:
+            self._gathers[key] = jax.jit(lambda o: o[:k])
+        return self._gathers[key]
 
     # ------------------------------------------------------------------
 
@@ -386,7 +403,14 @@ class AffinityPipeline:
 
     def _finalize(self, zyx, outs, out=None, profile=None):
         """Host half: unpack mask, spacing, size filter, masked affinity
-        gather, exact flood."""
+        gather, exact flood.
+
+        Transfer/compute overlap: affinities are gathered at the
+        PRE-size-filter mask (a superset of the filtered mask — the flood
+        only ever reads values at in-mask voxels, so the extra entries are
+        never consumed) and that download runs async underneath the host
+        spacing + size-filter work instead of after it.
+        """
         import time as _time
 
         def tick(name, t0):
@@ -399,30 +423,57 @@ class AffinityPipeline:
         aff_pad, mask_packed, order, n_cand, thresh, cent_smooth = outs
         t0 = _time.perf_counter()
         nvox = int(np.prod(zyx))
-        mask = np.unpackbits(np.asarray(mask_packed))[:nvox].astype(
-            bool
-        ).reshape(zyx)
         n_cand = int(n_cand)
-        if n_cand > self.cand_capacity:
+        overflow = n_cand > self.cand_capacity
+        order_small = None
+        if not overflow:
+            # ship only the live prefix of the candidate ranking (the
+            # capacity buffer is 1 MB; n_cand is typically ~1e4)
+            cap = 1 << max(int(np.ceil(np.log2(max(n_cand, 1)))), 8)
+            cap = min(cap, self.cand_capacity)
+            order_small = self._slice_fn(cap)(order)
+            try:
+                order_small.copy_to_host_async()
+            except AttributeError:
+                pass
+        # stay uint8 until after the native filter (bool<->uint8 round
+        # trips each copy 17 MB on 256^3)
+        mask_u8 = np.unpackbits(np.asarray(mask_packed))[:nvox].reshape(zyx)
+        mask_pad = np.pad(mask_u8, 1)
+        t0 = tick("download_mask_cands", t0)
+
+        # dispatch the affinity gather at the pre-filter mask and let the
+        # D2H copy run while the host does spacing + size filtering
+        pre_idx = np.flatnonzero(mask_pad.ravel()).astype(np.int32)
+        m = len(pre_idx)
+        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
+        capacity = min(capacity, mask_pad.size)
+        idx_up = np.zeros(capacity, np.int32)
+        idx_up[:m] = pre_idx
+        vals_dev = self._gather_fn(capacity)(aff_pad, jnp.asarray(idx_up))
+        try:
+            vals_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        t0 = tick("gather_dispatch", t0)
+
+        if overflow:
             # overflow fallback: exact host peak path
             from ..ops.peaks import peak_local_max
 
             cand_coords = peak_local_max(np.asarray(cent_smooth),
                                          threshold_abs=0.04)
         else:
-            idx_sorted = np.asarray(order[:n_cand])
+            idx_sorted = np.asarray(order_small)[:n_cand]
             cand_coords = np.stack(
                 np.unravel_index(idx_sorted, zyx), axis=1
             )
-        t0 = tick("download_mask_cands", t0)
 
         from ..ops.peaks import _ensure_spacing
 
         cand_coords = _ensure_spacing(cand_coords, spacing=1)
         centroids = cand_coords + 1  # account for padding
         t0 = tick("host_spacing", t0)
-        mask_pad = np.pad(mask, 1, constant_values=False)
-        t0 = tick("host_pad", t0)
         try:
             mask_pad = native.band_filter_cc6(mask_pad, 10, 10000000)
             # keeping a centroid iff it lies in a surviving object ==
@@ -431,24 +482,22 @@ class AffinityPipeline:
                 centroids = centroids[mask_pad[tuple(centroids.T)]]
         except native.NativeUnavailable:
             mask_pad, centroids = size_band_filter(
-                mask_pad, centroids, min_area=10, max_area=10000000
+                mask_pad.view(np.bool_), centroids,
+                min_area=10, max_area=10000000,
             )
         t0 = tick("host_mask_filter", t0)
 
-        # masked affinity gather (values are only read at masked voxels)
-        masked_idx = np.flatnonzero(mask_pad.ravel()).astype(np.int32)
-        m = len(masked_idx)
-        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
-        capacity = min(capacity, mask_pad.size)
-        idx_up = np.zeros(capacity, np.int32)
-        idx_up[:m] = masked_idx
-        gather = self._gather_fn(capacity)
-        vals = np.asarray(gather(aff_pad, jnp.asarray(idx_up)))[:, :m]
+        vals = np.asarray(vals_dev)[:, :m]
         t0 = tick("gather_affinities", t0)
 
         pshape = mask_pad.shape
-        aff_host = np.zeros((3, mask_pad.size), np.float32)
-        aff_host[:, masked_idx] = vals
+        # reused scatter buffer: every index the flood reads (in-mask voxels
+        # of THIS call) is freshly written below, so stale values from a
+        # previous frame are never consumed — skipping the 200 MB memset
+        if pshape not in self._aff_host:
+            self._aff_host[pshape] = np.empty((3, mask_pad.size), np.float32)
+        aff_host = self._aff_host[pshape]
+        aff_host[:, pre_idx] = vals
         offsets, axes = neighbor_offsets(pshape)
         n_half = len(offsets) // 2
         val_off = offsets.copy()
@@ -580,13 +629,18 @@ class DoGPipeline:
         mask_packed, order, n_cand, dist_sq = _DOG_PROGRAM_CACHE[key](
             jnp.asarray(volume)
         )
+        for a in (mask_packed, n_cand):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
         jax.block_until_ready(mask_packed)
         t0 = tick("device_program", t0)
 
         pshape = tuple(s + 2 for s in zyx)
         nvox = int(np.prod(pshape))
-        mask = np.unpackbits(np.asarray(mask_packed))[:nvox].astype(
-            bool
+        mask = np.unpackbits(np.asarray(mask_packed))[:nvox].view(
+            np.bool_
         ).reshape(pshape)
         n_cand = int(n_cand)
         k = len(self.sigma_list) - 1
@@ -594,6 +648,27 @@ class DoGPipeline:
         idx_sorted = np.asarray(order[: min(n_cand, self.cand_capacity)])
         coords4 = np.stack(np.unravel_index(idx_sorted, cube_shape), axis=1)
         t0 = tick("download", t0)
+
+        # dispatch the masked EDT gather now and let its D2H copy run
+        # underneath the host blob pruning (the flood only reads distances
+        # at masked voxels; the mask is already final here)
+        mask_w = np.pad(mask, 1, constant_values=False)
+        masked_idx = np.flatnonzero(mask_w.ravel()).astype(np.int32)
+        m = len(masked_idx)
+        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
+        capacity = min(capacity, mask_w.size)
+        # map flood-frame indices back to device (pshape) indices
+        wshape = mask_w.shape
+        c = np.stack(np.unravel_index(masked_idx, wshape), axis=1) - 1
+        dev_idx = np.ravel_multi_index(tuple(c.T), pshape).astype(np.int32)
+        idx_up = np.zeros(capacity, np.int32)
+        idx_up[:m] = dev_idx
+        vals_dev = self._gather_fn(capacity)(dist_sq, jnp.asarray(idx_up))
+        try:
+            vals_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        t0 = tick("gather_dispatch", t0)
 
         coords4 = _ensure_spacing(coords4, spacing=1)
         lm = coords4.astype(np.float64)
@@ -607,24 +682,10 @@ class DoGPipeline:
         from ..ops.cc import label_np
 
         markers, _ = label_np(centroids)
+        markers_w = np.pad(markers, 1, constant_values=0)
         t0 = tick("host_blobs", t0)
 
-        # flood frame is padded once more (skimage watershed semantics)
-        mask_w = np.pad(mask, 1, constant_values=False)
-        markers_w = np.pad(markers, 1, constant_values=0)
-        masked_idx = np.flatnonzero(mask_w.ravel()).astype(np.int32)
-        m = len(masked_idx)
-        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
-        capacity = min(capacity, mask_w.size)
-        # map flood-frame indices back to device (pshape) indices
-        wshape = mask_w.shape
-        c = np.stack(np.unravel_index(masked_idx, wshape), axis=1) - 1
-        dev_idx = np.ravel_multi_index(tuple(c.T), pshape).astype(np.int32)
-        idx_up = np.zeros(capacity, np.int32)
-        idx_up[:m] = dev_idx
-        vals_sq = np.asarray(
-            self._gather_fn(capacity)(dist_sq, jnp.asarray(idx_up))
-        )[:m]
+        vals_sq = np.asarray(vals_dev)[:m]
         t0 = tick("gather_distance", t0)
 
         # flood priorities: -sqrt computed in float64 of the exact squared

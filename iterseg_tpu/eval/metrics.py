@@ -191,6 +191,19 @@ def get_accuracy_metrics(
     ``exclude_chunks + 1`` labels (incl. background) are skipped
     (metrics.py:102).
     """
+    scores = _collect_chunk_scores(
+        slices, gt_data, model_result, VI=VI, AP=AP, ND=ND,
+        exclude_chunks=exclude_chunks,
+    )
+    return _finalize_scores(scores, name, prefix, out_path, AP=AP)
+
+
+def _collect_chunk_scores(slices, gt_data, model_result, VI=True, AP=True,
+                          ND=True, exclude_chunks=10):
+    """The per-chunk scoring loop of ``get_accuracy_metrics``: returns the
+    raw column-list dict. Split out so the multi-host path
+    (``parallel/multihost.py``) can score a shard of the chunk list on each
+    host and all-gather the rows before the (identical) finalisation."""
     scores = {
         "VI: GT | Output": [],
         "VI: Output | GT": [],
@@ -236,6 +249,12 @@ def get_accuracy_metrics(
                 scores["Number objects (GT)"].append(n_objects)
                 scores["Number objects (model)"].append(n_mr)
                 scores["Count difference"].append(nd)
+    return scores
+
+
+def _finalize_scores(scores, name, prefix, out_path, AP=True):
+    """Turn a raw score dict into the (scores, AP) frames + stats and write
+    the CSVs — the tail of ``get_accuracy_metrics``."""
     lens = {key: len(scores[key]) for key in scores}
     to_keep = [key for key in scores if lens[key] > 1]
     new_scores = pd.DataFrame({key: scores[key] for key in to_keep})

@@ -80,6 +80,15 @@ def get_lib():
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.band_filter_runs.restype = None
+        lib.band_filter_runs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         lib.ensure_spacing_cheb.restype = None
         lib.ensure_spacing_cheb.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -183,8 +192,28 @@ def band_filter_cc6(mask, min_area, max_area):
     """In-place fused CC size-band filter on a 3D uint8/bool mask.
 
     Returns the filtered boolean mask (components with size outside
-    [min_area, max_area) removed).
+    [min_area, max_area) removed). Implemented with the run-based
+    union-find kernel (``band_filter_runs``); the per-voxel BFS version
+    (``band_filter_bfs``) is kept as its slow oracle.
     """
+    lib = get_lib()
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    assert m.ndim == 3
+    lib.band_filter_runs(
+        _ptr(m, ctypes.c_uint8),
+        ctypes.c_int64(m.shape[0]),
+        ctypes.c_int64(m.shape[1]),
+        ctypes.c_int64(m.shape[2]),
+        ctypes.c_int64(int(min_area)),
+        ctypes.c_int64(int(max_area)),
+    )
+    # uint8 0/1 reinterpreted as bool: no 17 MB copy
+    return m.view(bool)
+
+
+def band_filter_bfs(mask, min_area, max_area):
+    """Per-voxel BFS size-band filter — the slow oracle for
+    ``band_filter_cc6`` (identical output, ~5x slower on 256^3)."""
     lib = get_lib()
     m = np.ascontiguousarray(mask, dtype=np.uint8)
     assert m.ndim == 3
@@ -198,7 +227,7 @@ def band_filter_cc6(mask, min_area, max_area):
         ctypes.c_int64(int(min_area)),
         ctypes.c_int64(int(max_area)),
     )
-    return m.astype(bool)
+    return m.view(bool)
 
 
 def edt3d(mask):

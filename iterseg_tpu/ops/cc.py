@@ -26,6 +26,7 @@ from scipy import ndimage as ndi
 __all__ = [
     "label_np",
     "label_jax",
+    "label_device",
     "component_sizes",
     "remove_small_objects",
     "size_band_filter",
@@ -131,6 +132,11 @@ def label_jax(mask, max_labels: int = 16384):
     Returns ``(labels, num)`` where labels are int32 with background 0 and
     component ids assigned in raster order of each component's first voxel.
     ``max_labels`` bounds the number of components (static for XLA).
+
+    ``num`` is always the TRUE component count. If ``num > max_labels``
+    the ``labels`` volume is invalid (the static-size renumbering
+    truncated) — callers must retry with a larger bound; ``label_device``
+    does that automatically.
     """
     m = jnp.asarray(mask) != 0
     shape = m.shape
@@ -141,10 +147,23 @@ def label_jax(mask, max_labels: int = 16384):
 
     # renumber to raster order of first occurrence == sorted root index
     roots = jnp.where(lab.ravel() == idx.ravel(), lab.ravel(), big)
+    # true count, deliberately NOT derived from the truncated unique()
+    num = jnp.sum(roots < big).astype(jnp.int32)
     uniq = jnp.unique(roots, size=max_labels + 1, fill_value=big)
-    num = jnp.sum(uniq < big).astype(jnp.int32)
     rank = jnp.searchsorted(uniq, lab.ravel()) + 1
     labels = jnp.where(m.ravel(), rank.astype(jnp.int32), 0).reshape(shape)
+    return labels, num
+
+
+def label_device(mask, max_labels: int = 16384):
+    """``label_jax`` with overflow protection: if the component count
+    exceeds ``max_labels`` (whose truncation silently mis-numbers), retry
+    once with a bound sized to the true count."""
+    labels, num = label_jax(mask, max_labels=max_labels)
+    n = int(num)
+    if n > max_labels:
+        bound = 1 << int(np.ceil(np.log2(n)))
+        labels, num = label_jax(mask, max_labels=bound)
     return labels, num
 
 

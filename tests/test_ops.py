@@ -114,6 +114,20 @@ class TestCC:
         assert int(n_ours) == n_ref
         np.testing.assert_array_equal(np.asarray(ours), ref)
 
+    def test_label_device_overflow_guard(self):
+        from iterseg_tpu.ops.cc import label_device, label_jax
+
+        # 27 isolated voxels > max_labels=8: label_jax must still report
+        # the TRUE count; label_device must retry and number correctly
+        m = np.zeros((6, 6, 6), bool)
+        m[::2, ::2, ::2] = True
+        _, num = label_jax(m, max_labels=8)
+        assert int(num) == 27
+        ours, n_ours = label_device(m, max_labels=8)
+        ref, n_ref = label_np(m)
+        assert int(n_ours) == n_ref == 27
+        np.testing.assert_array_equal(np.asarray(ours), ref)
+
     def test_size_band_filter(self):
         mask = np.zeros((10, 20, 20), bool)
         mask[2:4, 2:4, 2:4] = True  # size 8 < 10 -> dropped
@@ -159,3 +173,28 @@ class TestNativeKernels:
             pytest.skip("no native toolchain")
         ref = ndi.distance_transform_edt(blobs)
         np.testing.assert_array_equal(ours, ref)
+
+    def test_band_filter_runs_matches_bfs_and_scipy(self, rng, blobs):
+        from iterseg_tpu import native
+
+        fixtures = [
+            blobs,
+            rng.random((9, 33, 41)) > 0.5,  # salt-and-pepper, many runs
+            np.zeros((4, 5, 6), bool),
+            np.ones((4, 5, 6), bool),
+        ]
+        for lo, hi in [(10, 10_000_000), (2, 9), (1, 2)]:
+            for m in fixtures:
+                try:
+                    fast = native.band_filter_cc6(m.copy(), lo, hi)
+                    slow = native.band_filter_bfs(m.copy(), lo, hi)
+                except native.NativeUnavailable:
+                    pytest.skip("no native toolchain")
+                np.testing.assert_array_equal(fast, slow)
+                # scipy oracle
+                lab, _ = ndi.label(m)
+                sizes = np.bincount(lab.ravel())
+                bad = (sizes < lo) | (sizes >= hi)
+                bad[0] = False
+                ref = m & ~np.isin(lab, np.flatnonzero(bad))
+                np.testing.assert_array_equal(fast, ref)
