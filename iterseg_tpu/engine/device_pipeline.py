@@ -17,9 +17,10 @@ Bit-exactness with the generic path is by construction, not by luck: the
 fast and generic paths share the SAME compiled programs for every
 rounding-sensitive stage —
 
-  F  chunk-grid batched U-Net forward + margin-crop reassembly
+  F  chunk-grid batched U-Net forward + margin-crop reassembly, with
+     per-microbatch z-slab uploads pipelined under the forward
      (``get_feature_program``; ``predict_volume`` runs the identical
-     executable and merely downloads the result),
+     executables and merely downloads the result),
   P  feature-map preparation: affinity normalise/pad, centroid smoothing,
      Otsu (``ops.watershed._prep_feature_maps`` — the very function
      ``segment_output_image`` jits).
@@ -73,15 +74,25 @@ def _valid_grid(zyx, chunk_size, margin):
 
 def _build_feature_program(model, zyx, chunk_size, margin, microbatch,
                            normalize=False):
-    """Jitted ``vol (zyx) -> feature volume (C, zyx)``: overlapping chunk
-    grid (reference ``make_chunks``/``process_chunks`` semantics,
-    predict.py:38-96), scan-microbatched U-Net forward on the MXU, and
-    device-side margin-crop reassembly.
+    """``vol (zyx, numpy) -> device feature volume (C, zyx)``: overlapping
+    chunk grid (reference ``make_chunks``/``process_chunks`` semantics,
+    predict.py:38-96), upload/compute-pipelined U-Net forward on the MXU,
+    and device-side margin-crop reassembly.
 
     This is THE chunked forward: ``predict_volume`` and the device
-    pipelines run this same executable, which is what makes their label
-    outputs bit-identical (different XLA programs differ by ~1e-7 in the
-    feature maps, flipping watershed ties).
+    pipelines run this same composition of executables, which is what makes
+    their label outputs bit-identical (different XLA programs differ by
+    ~1e-7 in the feature maps, flipping watershed ties).
+
+    Pipelined uploads: the volume is shipped as per-microbatch z-slabs in
+    the SOURCE dtype (uint16 halves the bytes of f32), each dispatched
+    async so slab b+1's host→device copy overlaps microbatch b's forward —
+    on a thin host link (~35 MB/s here) the upload is as expensive as the
+    whole forward, so hiding it nearly halves the device phase. The f32
+    conversion and (optional) /max normalisation happen on device inside
+    the forward executable; the /max denominator is computed on host,
+    which is bit-identical for any input (max is exact selection, and u16
+    → f32 conversion is exact).
     """
     pads, padded, chunk, marg = _valid_grid(zyx, chunk_size, margin)
     starts, crops = make_chunks(padded, chunk, marg)
@@ -96,7 +107,6 @@ def _build_feature_program(model, zyx, chunk_size, margin, microbatch,
     z_starts = sorted({s[0] for s in starts})
     y_starts = sorted({s[1] for s in starts})
     x_starts = sorted({s[2] for s in starts})
-    start_index = {s: i for i, s in enumerate(starts)}
     crop_of = {tuple(s): c for s, c in zip(starts, crops)}
 
     from ..models import unet as unet_mod
@@ -109,35 +119,64 @@ def _build_feature_program(model, zyx, chunk_size, margin, microbatch,
     else:
         fwd_params = params
 
-    def program(vol):
-        vol = vol.astype(jnp.float32)
-        if normalize:
-            vol = vol / jnp.max(vol)
-        vol = jnp.pad(vol, pads, mode="edge")
-        xs = jnp.stack(
-            [vol[chunk_slices(s, chunk)] for s in starts]
-        )[:, None]  # (n, 1, cz, cy, cx)
-        if nb * B != n:
-            xs = jnp.concatenate(
-                [xs, jnp.zeros((nb * B - n,) + xs.shape[1:], xs.dtype)]
-            )
-        xs = xs.reshape((nb, B) + xs.shape[1:])
+    # group chunks into z-ordered microbatches; each batch reads one
+    # contiguous z-slab [z0, z1) of the padded volume
+    order = sorted(range(n), key=lambda i: tuple(starts[i]))
+    batches = [order[b * B:(b + 1) * B] for b in range(nb)]
+    slab_of = []
+    rel_starts = []
+    for idxs in batches:
+        z0 = min(starts[i][0] for i in idxs)
+        z1 = max(starts[i][0] for i in idxs) + chunk[0]
+        slab_of.append((int(z0), int(z1)))
+        rel_starts.append(tuple(
+            (int(starts[i][0] - z0),) + tuple(int(s) for s in starts[i][1:])
+            for i in idxs
+        ))
+    # position of global chunk i in (batch, slot)
+    pos_of = {}
+    for b, idxs in enumerate(batches):
+        for slot, i in enumerate(idxs):
+            pos_of[tuple(starts[i])] = (b, slot)
 
-        def step(_, xb):
+    # one forward executable per distinct (slab shape, relative starts)
+    # signature — uniform grids share one; the edge-shifted tail batch
+    # compiles its own
+    fwd_cache = {}
+
+    def fwd_for(slab_shape, rels):
+        key = (slab_shape, rels)
+        if key in fwd_cache:
+            return fwd_cache[key]
+
+        @jax.jit
+        def fwd(slab, denom):
+            v = slab.astype(jnp.float32)
+            if normalize:
+                v = v / denom
+            xs = jnp.stack(
+                [v[chunk_slices(s, chunk)] for s in rels]
+            )[:, None]  # (b, 1, cz, cy, cx)
+            if len(rels) < B:
+                xs = jnp.concatenate(
+                    [xs, jnp.zeros((B - len(rels),) + xs.shape[1:],
+                                   xs.dtype)]
+                )
             yb = unet_mod.forward(
-                fwd_params, spec, xb.astype(compute_dtype), train=False
+                fwd_params, spec, xs.astype(compute_dtype), train=False
             )
-            return None, yb.astype(jnp.float32)
+            return yb.astype(jnp.float32)
 
-        _, ys = jax.lax.scan(step, None, xs)
-        ys = ys.reshape((nb * B,) + ys.shape[2:])[:n]  # (n, C, cz, cy, cx)
+        fwd_cache[key] = fwd
+        return fwd
 
+    def assemble_fn(*ys):
         # assemble margin-cropped pieces (crops tile `padded` exactly)
         def piece(s):
-            i = start_index[s]
-            cr = crop_of[tuple(s)]
-            return ys[i][
-                (slice(None),) + tuple(slice(int(a), int(b)) for a, b in cr)
+            b, slot = pos_of[s]
+            cr = crop_of[s]
+            return ys[b][slot][
+                (slice(None),) + tuple(slice(int(a), int(b_)) for a, b_ in cr)
             ]
 
         zrows = []
@@ -157,7 +196,24 @@ def _build_feature_program(model, zyx, chunk_size, margin, microbatch,
                else jnp.concatenate(zrows, axis=1))
         return out[:, : zyx[0], : zyx[1], : zyx[2]]
 
-    return jax.jit(program)
+    assemble = jax.jit(assemble_fn)
+
+    def program(vol, device=None):
+        vol = np.asarray(vol)
+        if any(p[1] for p in pads):
+            vol = np.pad(vol, pads, mode="edge")
+        if normalize:
+            denom = jnp.float32(np.max(vol.astype(np.float32)))
+        else:
+            denom = jnp.float32(1.0)
+        ys = []
+        for b, (z0, z1) in enumerate(slab_of):
+            slab = np.ascontiguousarray(vol[z0:z1])
+            sd = jax.device_put(slab, device)  # async H2D
+            ys.append(fwd_for(slab.shape, rel_starts[b])(sd, denom))
+        return assemble(*ys)
+
+    return program
 
 
 def get_feature_program(model, zyx, chunk_size=(10, 256, 256),
@@ -166,10 +222,10 @@ def get_feature_program(model, zyx, chunk_size=(10, 256, 256),
     """The (cached) chunked-forward program for this model/geometry.
 
     Cached on the model object, so ``predict_volume`` and every pipeline
-    built on the same model share one compiled executable per geometry.
-    ``microbatch=None`` resolves via the shared activation-budget heuristic
-    so both paths agree on the scan batch (batch size is part of the XLA
-    program, hence of the numerics).
+    built on the same model share one program (same executables) per
+    geometry. ``microbatch=None`` resolves via the shared activation-budget
+    heuristic so both paths agree on the microbatch (batch size is part of
+    the XLA programs, hence of the numerics).
     """
     zyx = tuple(int(s) for s in zyx)
     chunk_size = tuple(int(c) for c in chunk_size)
@@ -265,9 +321,10 @@ class AffinityPipeline:
         self._programs[zyx] = jax.jit(program)
         return self._programs[zyx]
 
-    def _device_outputs(self, x):
-        """Run F → P → C on a device-resident volume; returns the finalize
-        tuple. All dispatches are async (no host sync)."""
+    def _device_outputs(self, x, device=None):
+        """Run F → P → C on a host volume; returns the finalize tuple.
+        All dispatches are async (no host sync); slab uploads pipeline
+        under the forward (see ``_build_feature_program``)."""
         from ..ops.watershed import _prep_feature_maps
 
         zyx = tuple(int(s) for s in x.shape)
@@ -275,7 +332,7 @@ class AffinityPipeline:
             self.model, zyx, self.chunk_size, self.margin,
             microbatch=self.microbatch, normalize=self.normalize,
         )
-        out = program(x)
+        out = program(x, device=device)
         aff_pad, cent_smooth, otsu = _prep_feature_maps(
             out[:3], out[4], out[3]
         )
@@ -358,10 +415,8 @@ class AffinityPipeline:
             vol = np.asarray(stack[t]).astype(np.float32)
             orig_shape = vol.shape
             vol, kept = prepare_volume(vol, return_kept=True)
-            x = jnp.asarray(vol)
-            if devices is not None:
-                x = jax.device_put(x, devices[i % len(devices)])
-            outs = self._device_outputs(x)  # async dispatch on x's device
+            device = None if devices is None else devices[i % len(devices)]
+            outs = self._device_outputs(vol, device=device)  # async
             return (t, vol.shape, outs, kept, orig_shape)
 
         next_dispatch = 0
@@ -393,7 +448,7 @@ class AffinityPipeline:
         zyx = volume.shape
 
         t0 = _time.perf_counter()
-        outs = self._device_outputs(jnp.asarray(volume))
+        outs = self._device_outputs(volume)
         jax.block_until_ready(outs[1])
         if profile is not None:
             profile["device_program"] = profile.get(

@@ -122,7 +122,7 @@ def predict_volume(
         from .device_pipeline import get_feature_program
 
         program = get_feature_program(model, orig_zyx, chunk_size, margin)
-        out = np.asarray(program(jnp.asarray(volume)))
+        out = np.asarray(program(volume))
         if output_volume is not None:
             output_volume[...] = out
             return output_volume
