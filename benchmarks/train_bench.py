@@ -54,6 +54,10 @@ def main():
     x_np = r.random((1, 1) + CROP, np.float32)
     y_np = (r.random((1, C) + CROP) > 0.5).astype(np.float32)
 
+    # measure the torch-CPU reference BEFORE training: the jitted step
+    # donates the parameter buffers, deleting `params`
+    base = _reference_cpu_step(params, x_np, y_np)
+
     # compile + warmup
     x = jnp.asarray(x_np)
     y = jnp.asarray(y_np)
@@ -61,7 +65,7 @@ def main():
     trainable, bn_state, opt_state, loss, chan = train_step(
         trainable, bn_state, opt_state, x, y, 0
     )
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))  # block_until_ready lies through the tunnel
     sys.stderr.write(f"compile+first step: {time.perf_counter() - t0:.1f}s\n")
 
     # device-resident rate (inputs stay on device)
@@ -70,7 +74,9 @@ def main():
         trainable, bn_state, opt_state, loss, chan = train_step(
             trainable, bn_state, opt_state, x, y, 0
         )
-    jax.block_until_ready(loss)
+    # consuming the loss bytes on host is the only reliable completion
+    # fence on this machine (the tunnel acks block_until_ready early)
+    float(np.asarray(loss))
     dt_resident = (time.perf_counter() - t0) / STEPS
 
     # streamed rate: fresh host arrays, double-buffered async upload
@@ -90,7 +96,7 @@ def main():
         if i + 1 < STEPS:
             xb = jnp.asarray(batches[i + 1][0])
             yb = jnp.asarray(batches[i + 1][1])
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))
     dt_streamed = (time.perf_counter() - t0) / STEPS
 
     mb_per_step = (x_np.nbytes + y_np.nbytes) / 2**20
@@ -102,7 +108,50 @@ def main():
         "upload_mb_per_step": round(mb_per_step, 1),
         "sec_resident": round(dt_resident, 3),
         "sec_streamed": round(dt_streamed, 3),
+        "torch_cpu_sec_per_step": round(base, 3),
+        "vs_baseline_streamed": round(base / dt_streamed, 2),
     }))
+
+
+def _reference_cpu_step(params, x_np, y_np):
+    """Reference-semantics torch CPU train step time (fwd+bwd+2x Adam,
+    train.py:287-364), measured once and cached."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "baseline_train_cpu.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["sec_per_step"]
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from torch_unet_ref import TorchUNetRef
+    from iterseg_tpu.models.convert import params_to_torch_state_dict
+
+    model = TorchUNetRef(1, C)
+    model.load_state_dict(params_to_torch_state_dict(params))
+    model.train()
+    torch.set_num_threads(os.cpu_count() or 1)
+    opt = torch.optim.Adam(model.parameters(), lr=0.01)
+    bce = torch.nn.BCELoss()
+    x = torch.from_numpy(x_np)
+    y = torch.from_numpy(y_np)
+
+    def step():
+        opt.zero_grad()
+        loss = bce(model(x), y)
+        loss.backward()
+        opt.step()
+        opt.step()  # reference double-step quirk (train.py:310+353)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(2):
+        step()
+    sec = (time.perf_counter() - t0) / 2
+    with open(cache, "w") as f:
+        json.dump({"sec_per_step": sec, "cpu_count": os.cpu_count()}, f)
+    return sec
 
 
 if __name__ == "__main__":
