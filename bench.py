@@ -11,6 +11,15 @@ host watershed postprocessing — i.e. the reference pipeline's cost on this
 host, using the same weights and volume (the reference's own numba kernel is
 unavailable in this image; our -O3 C++ flood, which is at least as fast,
 stands in, making the baseline conservative in the reference's favour).
+
+Mask-density sensitivity: the host share of wall-clock (size filter,
+affinity gather download, flood) scales with the thresholded mask's voxel
+count, while the device share is density-independent — so the ratio vs
+baseline shifts with mask density. The JSON reports ``mask_fraction`` so
+the operating point is visible; on this checkpoint/volume the mask covers
+a few percent of voxels. A worst-case dense mask (~40% of voxels) would
+roughly triple the gather+flood time (still bounded by the measured
+baseline's identical host postprocessing, which pays the same densities).
 """
 import json
 import os
@@ -88,7 +97,8 @@ def run_tpu(volume, params, compute_dtype=None):
             f"profile: {profile}\n"
         )
     dt = float(np.median(times))
-    return dt, labels
+    mask_fraction = float((np.asarray(labels) > 0).mean())
+    return dt, labels, mask_fraction
 
 
 def measure_baseline(volume, params):
@@ -152,7 +162,7 @@ def main():
         os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
         with open(BASELINE_PATH, "w") as f:
             json.dump(baseline, f, indent=2)
-    dt, labels = run_tpu(volume, params)
+    dt, labels, mask_fraction = run_tpu(volume, params)
     voxels = int(np.prod(volume.shape))
     vps = voxels / dt
     vs = vps / baseline["voxels_per_sec"]
@@ -160,8 +170,8 @@ def main():
     # f32 statistically, so it cannot be the bit-matching headline)
     import jax.numpy as jnp
 
-    dt_bf16, labels_bf16 = run_tpu(volume, params,
-                                   compute_dtype=jnp.bfloat16)
+    dt_bf16, labels_bf16, _ = run_tpu(volume, params,
+                                      compute_dtype=jnp.bfloat16)
     vps_bf16 = voxels / dt_bf16
     agree = float((np.asarray(labels_bf16) == np.asarray(labels)).mean())
     print(json.dumps({
@@ -172,6 +182,7 @@ def main():
         "bf16_voxels_per_sec": round(vps_bf16, 1),
         "bf16_vs_baseline": round(vps_bf16 / baseline["voxels_per_sec"], 2),
         "bf16_label_agreement": round(agree, 4),
+        "mask_fraction": round(mask_fraction, 4),
     }))
 
 

@@ -52,6 +52,34 @@ _CAND_CAP = 1 << 18  # max pre-sorted peak candidates shipped to host
 # pipeline; without this, every call would recompile ~20 s)
 _DOG_PROGRAM_CACHE = {}
 
+# gather/slice programs are pure functions of the capacity, shared
+# process-wide for the same reason (a fresh pipeline per segmenter call
+# would otherwise recompile them, ~5 s each on the real chip)
+_GATHER_CACHE = {}
+
+
+def _cached_gather(kind, capacity):
+    key = (kind, capacity)
+    if key not in _GATHER_CACHE:
+        if kind == "rows":  # (C, n) values at idx -> (C, capacity)
+            @jax.jit
+            def fn(arr, idx):
+                flat = arr.reshape(arr.shape[0], -1)
+                return flat[:, idx]
+        else:  # flat gather
+            @jax.jit
+            def fn(arr, idx):
+                return arr.ravel()[idx]
+        _GATHER_CACHE[key] = fn
+    return _GATHER_CACHE[key]
+
+
+def _cached_slice(k):
+    key = ("slice", k)
+    if key not in _GATHER_CACHE:
+        _GATHER_CACHE[key] = jax.jit(lambda o: o[:k])
+    return _GATHER_CACHE[key]
+
 
 def _valid_grid(zyx, chunk_size, margin):
     """Pad/clamp logic shared with predict_volume: z even, y/x %16 chunks."""
@@ -280,7 +308,6 @@ class AffinityPipeline:
         self.normalize = normalize  # divide by max on device (device twin
         # of segment_single_volume's host normalisation; bit-identical f32)
         self._programs = {}
-        self._gathers = {}
         self._aff_host = {}  # pshape -> (3, n) scatter buffer (see _finalize)
 
     # ------------------------------------------------------------------
@@ -362,20 +389,10 @@ class AffinityPipeline:
         return aff_pad, mask_packed, order, n_cand, thresh, cent_smooth
 
     def _gather_fn(self, capacity):
-        if capacity not in self._gathers:
-            @jax.jit
-            def gather(aff_pad, idx):
-                flat = aff_pad.reshape(aff_pad.shape[0], -1)
-                return flat[:, idx]
-
-            self._gathers[capacity] = gather
-        return self._gathers[capacity]
+        return _cached_gather("rows", capacity)
 
     def _slice_fn(self, k):
-        key = ("slice", k)
-        if key not in self._gathers:
-            self._gathers[key] = jax.jit(lambda o: o[:k])
-        return self._gathers[key]
+        return _cached_slice(k)
 
     # ------------------------------------------------------------------
 
@@ -603,7 +620,6 @@ class DoGPipeline:
             [self.min_sigma * self.sigma_ratio**i for i in range(k + 1)]
         )
         self._programs = {}
-        self._gathers = {}
 
     def _build_program(self, zyx):
         """zyx: the unpadded frame shape; all outputs live on zyx+2."""
@@ -651,13 +667,7 @@ class DoGPipeline:
         return jax.jit(program)
 
     def _gather_fn(self, capacity):
-        if capacity not in self._gathers:
-            @jax.jit
-            def gather(dist_sq, idx):
-                return dist_sq.ravel()[idx]
-
-            self._gathers[capacity] = gather
-        return self._gathers[capacity]
+        return _cached_gather("flat", capacity)
 
     def segment(self, volume, out=None, profile=None):
         """Labels of shape volume.shape + 2 (the padded frame, matching the
@@ -743,17 +753,19 @@ class DoGPipeline:
         vals_sq = np.asarray(vals_dev)[:m]
         t0 = tick("gather_distance", t0)
 
-        # flood priorities: -sqrt computed in float64 of the exact squared
-        # distances == f32(-scipy f64 EDT), bit-identical to the host path
-        img_r = np.zeros(mask_w.size, np.float32)
-        img_r[masked_idx] = -np.sqrt(vals_sq.astype(np.float64))
+        # flood priorities are -sqrt of the exact integer SQUARED
+        # distances: distinct d^2 always map to distinct f32 priorities
+        # (adjacent sqrt gaps ~1e-3 vs f32 ulp ~3e-5 at this range), so
+        # bucketing by d^2 reproduces the heap's (value, age, index) order
+        # exactly — the bucket flood is ~10x the heap on dense EDT masks
+        # (oracle-equality tested in tests/test_watershed.py)
+        keys = np.zeros(mask_w.size, np.int32)
+        keys[masked_idx] = vals_sq.astype(np.int32)
         output = np.where(mask_w, markers_w, 0).astype(np.int32).ravel()
         marker_locations = np.flatnonzero(output).astype(np.int64)
         offsets, _ = neighbor_offsets(wshape)
-        val_chan = np.zeros(len(offsets), dtype=np.int64)
-        native.priority_flood(
-            img_r[None], offsets, val_chan, offsets, marker_locations,
-            img_r[marker_locations], mask_w.ravel(), output,
+        native.bucket_flood_image(
+            keys, offsets, marker_locations, mask_w.ravel(), output,
         )
         t0 = tick("flood", t0)
         labels = output.reshape(wshape)[1:-1, 1:-1, 1:-1]

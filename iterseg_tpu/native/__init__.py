@@ -89,6 +89,17 @@ def get_lib():
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.bucket_flood_image.restype = None
+        lib.bucket_flood_image.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),   # keys (d^2)
+            ctypes.POINTER(ctypes.c_int64),   # offsets
+            ctypes.c_int32,                   # n_nbr
+            ctypes.POINTER(ctypes.c_int64),   # markers
+            ctypes.c_int64,                   # n_markers
+            ctypes.POINTER(ctypes.c_uint8),   # mask
+            ctypes.POINTER(ctypes.c_int32),   # output
+            ctypes.c_int64,                   # n
+        ]
         lib.ensure_spacing_cheb.restype = None
         lib.ensure_spacing_cheb.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -152,6 +163,34 @@ def priority_flood(values, offsets, val_chan, val_off, markers, seed_values,
         _ptr(mask, ctypes.c_uint8),
         _ptr(output, ctypes.c_int32),
         ctypes.c_int64(n),
+    )
+    return output
+
+
+def bucket_flood_image(keys, offsets, markers, mask, output):
+    """Image-mode priority flood with DISCRETE integer priorities.
+
+    Exact heap-order twin of ``priority_flood`` in image mode when every
+    priority is ``-sqrt(keys[i])`` for integer ``keys`` (the EDT
+    watershed): buckets by key instead of a heap — ~10x faster on dense
+    masks. ``markers`` must be ascending (flatnonzero order); ``output``
+    pre-seeded at markers. In place on raveled int32 ``output``.
+    """
+    lib = get_lib()
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    markers = np.ascontiguousarray(markers, dtype=np.int64)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    assert output.dtype == np.int32 and output.flags.c_contiguous
+    lib.bucket_flood_image(
+        _ptr(keys, ctypes.c_int32),
+        _ptr(offsets, ctypes.c_int64),
+        ctypes.c_int32(len(offsets)),
+        _ptr(markers, ctypes.c_int64),
+        ctypes.c_int64(len(markers)),
+        _ptr(mask, ctypes.c_uint8),
+        _ptr(output, ctypes.c_int32),
+        ctypes.c_int64(mask.size),
     )
     return output
 

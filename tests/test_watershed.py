@@ -109,3 +109,41 @@ class TestImageWatershed:
         for m in range(1, n + 1):
             sel = markers == m
             assert np.all(out[sel] == m)
+
+    def test_bucket_flood_equals_heap(self, blobs):
+        """The discrete-priority bucket flood (DoG fast path) reproduces
+        the (value, age, index) heap order bit-exactly — incl. the
+        tie-heavy case of many voxels sharing one squared distance."""
+        from iterseg_tpu import native
+        from iterseg_tpu.ops.watershed_oracle import neighbor_offsets
+
+        for vol in (blobs[:24, :24, :24], blobs[:10, :40, :40]):
+            mask = np.pad(vol, 1, constant_values=False)
+            d2 = np.round(
+                ndi.distance_transform_edt(mask) ** 2
+            ).astype(np.int32)
+            peaks = d2 > 0.5 * d2.max()
+            markers, _ = ndi.label(peaks)
+            offsets, _ = neighbor_offsets(mask.shape)
+
+            img_r = np.where(mask, -np.sqrt(d2.astype(np.float64)), 0.0)
+            img_r = img_r.astype(np.float32).ravel()
+            out_heap = np.where(mask, markers, 0).astype(np.int32).ravel()
+            locs = np.flatnonzero(out_heap).astype(np.int64)
+            val_chan = np.zeros(len(offsets), dtype=np.int64)
+            try:
+                native.priority_flood(
+                    img_r[None], offsets, val_chan, offsets, locs,
+                    img_r[locs], mask.ravel(), out_heap,
+                )
+            except native.NativeUnavailable:
+                import pytest
+
+                pytest.skip("no native toolchain")
+
+            keys = np.where(mask, d2, 0).astype(np.int32).ravel()
+            out_bucket = np.where(mask, markers, 0).astype(np.int32).ravel()
+            native.bucket_flood_image(
+                keys, offsets, locs, mask.ravel(), out_bucket,
+            )
+            np.testing.assert_array_equal(out_bucket, out_heap)
