@@ -1,0 +1,56 @@
+"""ID-matched dataset discovery helpers (parity: helpers.py:95-180)."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from iterseg_tpu import helpers
+
+
+@pytest.fixture
+def dataset_dir(tmp_path):
+    """Two runs of the reference's file layout, with distinguishable
+    contents per suffix so ordering bugs are detectable."""
+    ids = ["240101_120000_0", "240101_120000_1"]
+    for k, run_id in enumerate(ids):
+        for j, suffix in enumerate(
+            ["_image.tif", "_labels.tif", "_output.tif", "_GT.tif",
+             "_segmentation.tif", "_DoG-segmentation.tif"]
+        ):
+            arr = np.full((4, 5), 10 * k + j, dtype=np.uint8)
+            Image.fromarray(arr).save(tmp_path / f"{run_id}{suffix}")
+    return tmp_path, ids
+
+
+def test_get_data_by_id_suffix_order(dataset_dir):
+    d, ids = dataset_dir
+    image, labels = helpers.get_data_by_id(
+        str(d), ["_image.tif", "_labels.tif"]
+    )
+    # stacks come back in SUFFIX order, frames in run-ID order
+    assert np.asarray(image).shape == (2, 4, 5)
+    assert np.asarray(image)[0, 0, 0] == 0 and np.asarray(image)[1, 0, 0] == 10
+    assert np.asarray(labels)[0, 0, 0] == 1 and np.asarray(labels)[1, 0, 0] == 11
+
+
+def test_get_dataset_reference_swap_quirk(dataset_dir):
+    """The reference's get_dataset (helpers.py:95-127) returns the
+    _labels.tif stack FIRST (its labs/images bindings are crossed); the
+    port replicates that observable order exactly."""
+    d, ids = dataset_dir
+    first, second, output = helpers.get_dataset(str(d))
+    assert np.asarray(first)[0, 0, 0] == 1      # _labels.tif
+    assert np.asarray(second)[0, 0, 0] == 0     # _image.tif
+    assert np.asarray(output)[0, 0, 0] == 2     # _output.tif
+    out = helpers.get_dataset(str(d), GT=True, return_ID=True)
+    assert len(out) == 5
+    assert out[4] == ids
+    assert np.asarray(out[3])[0, 0, 0] == 3     # _GT.tif
+
+
+def test_get_dataset_segs(dataset_dir):
+    d, ids = dataset_dir
+    gt, seg, dog, im = helpers.get_dataset_segs(str(d), validation=False)
+    assert np.asarray(gt)[0, 0, 0] == 3
+    assert np.asarray(seg)[0, 0, 0] == 4
+    assert np.asarray(dog)[0, 0, 0] == 5
+    assert np.asarray(im)[0, 0, 0] == 0
