@@ -268,9 +268,14 @@ def get_feature_program(model, zyx, chunk_size=(10, 256, 256),
     key = (zyx, chunk_size, margin, int(microbatch), bool(normalize),
            jnp.dtype(model.compute_dtype).name)
     cache = getattr(model, "_feature_programs", None)
-    if cache is None:
+    # the built programs close over model.params: if the params object was
+    # swapped (e.g. fresh weights assigned after training), the cache
+    # would silently serve the OLD checkpoint — invalidate it
+    if cache is None or getattr(
+            model, "_feature_programs_params", None) is not model.params:
         cache = {}
         model._feature_programs = cache
+        model._feature_programs_params = model.params
     if key not in cache:
         cache[key] = _build_feature_program(
             model, zyx, chunk_size, margin, microbatch, normalize
@@ -348,16 +353,21 @@ class AffinityPipeline:
         self._programs[zyx] = jax.jit(program)
         return self._programs[zyx]
 
-    def _device_outputs(self, x, device=None):
+    def _device_outputs(self, x, device=None, normalize=None):
         """Run F → P → C on a host volume; returns the finalize tuple.
         All dispatches are async (no host sync); slab uploads pipeline
-        under the forward (see ``_build_feature_program``)."""
+        under the forward (see ``_build_feature_program``).
+
+        ``normalize`` overrides the pipeline's flag for this call (used by
+        ``segment_stack`` to keep integer frames in their source dtype and
+        /max them on device instead of on host — bit-identical)."""
         from ..ops.watershed import _prep_feature_maps
 
         zyx = tuple(int(s) for s in x.shape)
         program = get_feature_program(
             self.model, zyx, self.chunk_size, self.margin,
-            microbatch=self.microbatch, normalize=self.normalize,
+            microbatch=self.microbatch,
+            normalize=self.normalize if normalize is None else normalize,
         )
         out = program(x, device=device)
         aff_pad, cent_smooth, otsu = _prep_feature_maps(
@@ -366,14 +376,10 @@ class AffinityPipeline:
         if self.absolute_thresh is None:
             thresh = otsu
         else:
-            # the host path compares f32 > float64(absolute_thresh); the
-            # device compares in f32, so use the largest f32 <= thresh —
-            # (x > t32) then matches (x > t64) for every f32 x exactly
-            t64 = float(self.absolute_thresh)
-            t32 = np.float32(t64)
-            if t32 > t64:
-                t32 = np.nextafter(t32, np.float32(-np.inf))
-            thresh = jnp.float32(t32)
+            # under NumPy 2 (NEP 50 weak promotion) the host path's
+            # ``f32_array > python_float`` compares in f32 — so casting
+            # the threshold to f32 matches the host semantics exactly
+            thresh = jnp.float32(float(self.absolute_thresh))
         mask_packed, order, n_cand = self._cand_program(zyx)(
             cent_smooth, out[3], thresh
         )
@@ -416,7 +422,8 @@ class AffinityPipeline:
         Frames that trigger zero-slice removal (shape change) fall back to
         the unpipelined exact path.
         """
-        from ..core.volume import prepare_volume, restore_labels
+        from ..core.volume import (prepare_volume, remove_sum_zero_slices,
+                                   restore_labels)
 
         n_frames = stack.shape[0]
         todo = []
@@ -429,11 +436,31 @@ class AffinityPipeline:
         pending = []  # (t, zyx, device_outputs, kept, orig_shape)
 
         def dispatch(i, t):
-            vol = np.asarray(stack[t]).astype(np.float32)
-            orig_shape = vol.shape
-            vol, kept = prepare_volume(vol, return_kept=True)
+            raw = np.asarray(stack[t])
+            orig_shape = raw.shape
             device = None if devices is None else devices[i % len(devices)]
-            outs = self._device_outputs(vol, device=device)  # async
+            if np.issubdtype(raw.dtype, np.integer):
+                # keep the source dtype over the link (u16 halves the
+                # bytes of f32) and /max on device — bit-identical to
+                # prepare_volume's host normalisation (max is exact
+                # selection; int -> f32 conversion exact)
+                vol = raw
+                kept = None
+                if vol.min() == 0:
+                    vol, kept = remove_sum_zero_slices(
+                        vol, return_kept=True
+                    )
+                    if vol.shape == orig_shape:
+                        kept = None
+                outs = self._device_outputs(
+                    np.ascontiguousarray(vol), device=device,
+                    normalize=True,
+                )
+            else:
+                vol, kept = prepare_volume(
+                    raw.astype(np.float32), return_kept=True
+                )
+                outs = self._device_outputs(vol, device=device)  # async
             return (t, vol.shape, outs, kept, orig_shape)
 
         next_dispatch = 0

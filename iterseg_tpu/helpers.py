@@ -156,3 +156,62 @@ def get_regex_images(data_dir, regex, ids, id_regex=r"\d{6}_\d{6}_\d{1,3}"):
                 id_done = True
         assert id_done, f"No file match was found for ID: {ID}"
     return LazyImageStack(correct_paths)
+
+
+_ID_REGEX = r"\d{6}_\d{6}_\d{1,3}"
+
+
+def _run_ids_from_outputs(out_dir, validation):
+    """Run IDs discovered from the train loop's saved prediction files
+    (``<id>_output.tif`` / ``<id>_validation_output.tif``) — these anchor
+    which runs a dataset directory contains."""
+    suffix = "_validation_output.tif" if validation else "_output.tif"
+    return get_ids(sorted(get_paths(out_dir, _ID_REGEX + suffix)))
+
+
+def get_data_by_id(train_dir, suffixes, out_dir=None, validation=False):
+    """One lazy stack per suffix, frames ordered by the run IDs of the
+    prediction files in ``out_dir`` (behaviour parity: reference
+    helpers.py:137-154)."""
+    ids = _run_ids_from_outputs(out_dir or train_dir, validation)
+    return tuple(
+        get_regex_images(train_dir, _ID_REGEX + s, ids) for s in suffixes
+    )
+
+
+def get_dataset(train_dir, out_dir=None, GT=False, validation=False,
+                return_ID=False):
+    """Training-run stacks matched by run ID (behaviour parity: reference
+    helpers.py:95-127).
+
+    Observable-order note: the reference's implementation crosses its
+    ``labs``/``images`` bindings, so its first returned stack is the
+    ``_labels.tif`` one and its second the ``_image.tif`` one despite the
+    variable names. Callers depend on what it *does*, so this port keeps
+    that order: ``(labels, image, output[, GT][, ids])``.
+    """
+    out_dir = out_dir or train_dir
+    o_s = "_validation_output.tif" if validation else "_output.tif"
+    suffixes = ["_image.tif", "_labels.tif", o_s] + (
+        ["_GT.tif"] if GT else []
+    )
+    stacks = dict(zip(suffixes, get_data_by_id(
+        train_dir, suffixes, out_dir=out_dir, validation=validation
+    )))
+    ordered = [stacks["_labels.tif"], stacks["_image.tif"], stacks[o_s]]
+    if GT:
+        ordered.append(stacks["_GT.tif"])
+    if return_ID:
+        ordered.append(_run_ids_from_outputs(out_dir, validation))
+    return tuple(ordered)
+
+
+def get_dataset_segs(train_dir, out_dir=None, validation=True):
+    """(GT, segmentation, DoG-segmentation, image) stacks by run ID
+    (behaviour parity: reference helpers.py:130-134)."""
+    return get_data_by_id(
+        train_dir,
+        ("_GT.tif", "_segmentation.tif", "_DoG-segmentation.tif",
+         "_image.tif"),
+        out_dir=out_dir, validation=validation,
+    )

@@ -145,7 +145,6 @@ def multihost_segment_zarr(
     margin=(1, 64, 64),
     host_id=None,
     n_hosts=None,
-    devices=None,
 ):
     """Segment a (t, z, y, x) zarr timeseries across a pod of hosts.
 
@@ -155,9 +154,9 @@ def multihost_segment_zarr(
     are skipped, as in ``segmentation_loop``) and writes disjoint chunks.
     Returns the list of frames this host processed.
 
-    ``devices``: optional local device list for intra-host frame
-    parallelism (forwarded to the pipelined 4D path when the affinity
-    segmenter with a 5-channel head is used).
+    Intra-host multi-chip frame parallelism composes underneath via
+    ``AffinityPipeline.segment_stack(devices=...)`` on each host's own
+    frames; this layer only decides frame ownership across hosts.
     """
     from ..engine.segmentation import segment_single_volume, _as_layer
     from ..io.zarr_io import open_zarr
@@ -180,15 +179,13 @@ def multihost_segment_zarr(
 
     layer = _as_layer(data)
     fn, config = _prep(segmenter, layer, network_or_config_file)
-    if devices is not None:
-        config["devices"] = devices
 
     mine = host_frames(n_frames, host_id, n_hosts)
     done = []
     for t in mine:
-        frame = np.asarray(data[t] if data.ndim == 4 else data[...])
         if np.any(np.asarray(out[t])):
-            continue  # warm restart: another run already labelled it
+            continue  # warm restart: skip before paying the input read
+        frame = np.asarray(data[t] if data.ndim == 4 else data[...])
         labels = segment_single_volume(
             frame.astype(np.float32), chunk_size, config, margin, fn
         )
@@ -219,7 +216,10 @@ def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
     Uses DCN collectives (``process_allgather``) when a jax.distributed
     runtime exists; otherwise exchanges part files through the shared
     store (each host can see every other host's save_dir on a pod
-    filesystem — the same assumption the shared output zarr makes).
+    filesystem — the same assumption the shared output zarr makes). Each
+    host deletes its own part after the exchange, so a later run in the
+    same directory cannot pick up this run's rows; if a run crashes
+    mid-exchange, clear ``.{tag}_part*.npy`` before rerunning.
     """
     import jax
 
@@ -240,7 +240,7 @@ def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
     tmp = part + ".tmp.npy"  # np.save appends .npy to bare names
     np.save(tmp, mat)
     os.replace(tmp, part)
-    parts = []
+    parts = {}
     t0 = time.monotonic()
     for h in range(n_hosts):
         p = os.path.join(save_dir, f".{tag}_part{h}.npy")
@@ -250,11 +250,40 @@ def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
             time.sleep(0.05)
         while True:  # the writer may still be mid-rename on slow stores
             try:
-                parts.append(np.load(p))
+                parts[h] = np.load(p)
                 break
             except (ValueError, EOFError):
                 time.sleep(0.05)
-    return np.concatenate(parts, axis=0)
+    # every host has read every part once all n_hosts files exist AND all
+    # hosts have loaded them; hosts signal completion by touching a .done
+    # marker, and each host removes its own part only after all markers
+    # exist (removing earlier would race a slower host's read)
+    done = os.path.join(save_dir, f".{tag}_done{host_id}")
+    with open(done, "w"):
+        pass
+    t0 = time.monotonic()
+    for h in range(n_hosts):
+        d = os.path.join(save_dir, f".{tag}_done{h}")
+        while not os.path.exists(d):
+            if time.monotonic() - t0 > 300:
+                raise TimeoutError(f"missing done marker {d}")
+            time.sleep(0.05)
+    try:
+        os.remove(part)
+    except OSError:
+        pass
+    # last host to clean also sweeps the markers (best effort)
+    try:
+        if not any(os.path.exists(os.path.join(
+                save_dir, f".{tag}_part{h}.npy")) for h in range(n_hosts)):
+            for h in range(n_hosts):
+                try:
+                    os.remove(os.path.join(save_dir, f".{tag}_done{h}"))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return np.concatenate([parts[h] for h in range(n_hosts)], axis=0)
 
 
 def multihost_accuracy_metrics(
@@ -280,10 +309,18 @@ def multihost_accuracy_metrics(
     frames and host 0's CSVs are byte-identical to a single-host run.
     """
     from ..eval.metrics import (_collect_chunk_scores, _finalize_scores,
-                                generate_IoU_dict)
+                                _layer_data, generate_IoU_dict)
 
     host_id, n_hosts = _resolve_host(host_id, n_hosts)
     slices = list(slices)
+    # 3D<->4D promotion once, up front: per-chunk _collect_chunk_scores
+    # calls would otherwise re-stack the full volume for every chunk
+    gt_data = _layer_data(gt_data)
+    model_result = _layer_data(model_result)
+    if gt_data.ndim == 3 and model_result.ndim == 4:
+        gt_data = np.stack([gt_data] * model_result.shape[0])
+    elif model_result.ndim == 3 and gt_data.ndim == 4:
+        model_result = np.stack([model_result] * gt_data.shape[0])
     template = {
         "VI: GT | Output": [],
         "VI: Output | GT": [],

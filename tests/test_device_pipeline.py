@@ -126,6 +126,26 @@ class TestSegmentStack:
             ref = pipe.segment(vol)
             np.testing.assert_array_equal(out[t], ref)
 
+    def test_pipelined_integer_stack_matches_float_path(self, model):
+        """Integer 4D stacks stay in their source dtype over the link and
+        /max on device — labels must equal the host-normalised f32 path
+        (prepare_volume) exactly."""
+        from iterseg_tpu.core.volume import prepare_volume
+
+        vols_u16 = [
+            np.round(blob_volume(seed=s) * 65535.0).astype(np.uint16)
+            for s in (3, 4)
+        ]
+        stack = np.stack(vols_u16)
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8))
+        out = np.zeros(stack.shape, np.int32)
+        ts = list(pipe.segment_stack(stack, out))
+        assert ts == [0, 1]
+        for t, vol in enumerate(vols_u16):
+            ref = pipe.segment(prepare_volume(vol.astype(np.float32)))
+            np.testing.assert_array_equal(out[t], ref)
+
     def test_warm_restart_skips(self, model):
         vols = [blob_volume(seed=s) for s in (3, 4)]
         stack = np.stack(vols)
