@@ -65,35 +65,49 @@ def save_loss_plot(path, loss_function, v_path=None, show=True):
                      save=out_path, show=show)
 
 
+def _loss_series(df):
+    """(iterations, loss, last-batch-of-each-epoch indices) from a loss
+    CSV frame."""
+    if "Unnamed: 0" in df:
+        iterations = df["Unnamed: 0"].to_numpy()
+    else:
+        iterations = df.index.to_numpy()
+    n_epochs = df["epoch"].nunique()
+    per_epoch = len(iterations) // max(n_epochs, 1)
+    last_of_epoch = per_epoch * np.arange(1, n_epochs + 1) - 1
+    return iterations, df["loss"].to_numpy(), last_of_epoch
+
+
+def _validation_series(vdf, iterations, last_of_epoch):
+    """Validation overlay points: per-epoch means when the CSV holds one
+    row per validation batch, the raw column otherwise."""
+    if len(vdf) > len(last_of_epoch):
+        grouped = vdf.groupby("batch_id").mean(numeric_only=True)
+        return vdf["batch_id"].unique(), grouped["validation_loss"].to_numpy()
+    return iterations[last_of_epoch], vdf["validation_loss"].to_numpy()
+
+
 def plot_loss(df, vdf=None, x_lab="Iteration", y_lab="BCE Loss", save=None,
               show=True):
-    x = df.index.values if "Unnamed: 0" not in df else df["Unnamed: 0"].values
-    y = df["loss"].values
-    epochs = len(df["epoch"].unique())
-    no_batches = int(len(x) / max(epochs, 1))
-    epoch_ends = np.array(
-        [((i + 1) * no_batches) - 1 for i in range(epochs)]
-    )
+    """Training-loss curve with epoch-end markers and an optional
+    validation overlay. Figure-content parity with the reference
+    (plots.py:30-66): identical series, markers, labels, legend, canvas
+    size and dpi.
+    """
+    iterations, loss, last_of_epoch = _loss_series(df)
     fig, ax = plt.subplots()
-    leg = ["loss"]
-    ax.plot(x, y, linewidth=2)
-    ax.scatter(x[epoch_ends], y[epoch_ends])
+    ax.plot(iterations, loss, linewidth=2)
+    ax.scatter(iterations[last_of_epoch], loss[last_of_epoch])
+    series = ["loss"]
     title = "Training loss"
     if vdf is not None:
-        if len(vdf) > epochs:
-            vy = vdf.groupby("batch_id").mean(numeric_only=True)[
-                "validation_loss"
-            ].values
-            vx = vdf["batch_id"].unique()
-        else:
-            vy = vdf["validation_loss"].values
-            vx = x[epoch_ends]
+        v_iter, v_loss = _validation_series(vdf, iterations, last_of_epoch)
+        ax.plot(v_iter, v_loss, linewidth=2, marker="o")
+        series.append("validation loss")
         title += " with validation loss"
-        leg.append("validation loss")
-        ax.plot(vx, vy, linewidth=2, marker="o")
     ax.set(xlabel=x_lab, ylabel=y_lab)
     ax.set_title(title)
-    ax.legend(leg)
+    ax.legend(series)
     fig.set_size_inches(13, 9)
     if save is not None:
         plt.savefig(save, dpi=300)

@@ -11,6 +11,11 @@ peaks come from a 3^(ndim+1) local-max footprint over the (space..., scale)
 cube with ``threshold_abs=threshold``, and overlapping blobs (sphere overlap
 fraction > ``overlap``) are pruned keeping the larger sigma. Pair iteration
 during pruning is sorted (deterministic), unlike skimage's set ordering.
+
+Provenance: ``_blob_overlap``/``_prune_blobs`` re-derive scikit-image's
+BSD-3-licensed ``skimage/feature/blob.py`` semantics (sphere/lens overlap
+geometry and KD-tree pair pruning) — third-party semantics, not iterseg
+code; kept close to the skimage formulas so the parity tests pin them.
 """
 from __future__ import annotations
 

@@ -668,57 +668,54 @@ def _ground_truth_from_ROI(
 ):
     """Tile proofread rectangular ROIs into fresh GT frames (the iterative
     data flywheel). xy rectangles, full z extent; image background filled
-    with N(mean) noise."""
+    with N(mean) noise. Behaviour parity: _dock_widgets.py:1211-1330
+    (tile grid pitch = roi size + padding, row-major placement from the
+    frame origin, one output frame per ROI).
+    """
+
+    def roi_slice(roi, ndim):
+        """Full-z slice bounded by the ROI rectangle in xy (and in any
+        leading stack axes the shape coordinates carry)."""
+        lo = np.round(np.min(roi, axis=0)).astype(int)
+        hi = np.round(np.max(roi, axis=0)).astype(int) + 1
+        lead = tuple(slice(lo[i], hi[i]) for i in range(ndim - 3))
+        xy = tuple(slice(lo[i], hi[i]) for i in (ndim - 2, ndim - 1))
+        return lead + (slice(None),) + xy
+
+    def tile_grid(frame_hw, tile_hw, n_tiles):
+        """Row-major tile placements at pitch (tile + padding), capped by
+        how many whole tiles fit in the frame."""
+        cells_y, cells_x = (
+            int(f // (t + padding)) for f, t in zip(frame_hw, tile_hw)
+        )
+        h, w = tile_hw
+        placements = []
+        for j in range(min(cells_y * cells_x, n_tiles)):
+            row, col = divmod(j, cells_x)
+            y0 = (h + padding) * row
+            x0 = (w + padding) * col
+            placements.append(
+                (slice(None), slice(y0, y0 + h), slice(x0, x0 + w))
+            )
+        return placements
+
     gt = np.asarray(labels_layer.data)
     img = np.asarray(image_layer.data)
-    rois = shapes_layer.data
-    max_lim = [np.round(np.max(roi, axis=0)).astype(int) + 1 for roi in rois]
-    min_lim = [np.round(np.min(roi, axis=0)).astype(int) for roi in rois]
-    extra_dims = gt.ndim - 3
-    slices = []
-    for ll, ul in zip(min_lim, max_lim):
-        s_xy = [slice(ll[i], ul[i]) for i in range(extra_dims + 1, gt.ndim)]
-        s_z = [slice(None)]
-        s_extra = [slice(ll[i], ul[i])
-                   for i in range(0, extra_dims)] * extra_dims
-        slices.append(tuple(s_extra + s_z + s_xy))
-    gt_rois = [gt[s_] for s_ in slices]
-    im_rois = [img[s_] for s_ in slices]
-    gt_xy_shape = gt.shape[-2:]
-    max_per_axis = [
-        np.floor_divide(gt_xy_shape,
-                        np.array(d.shape[-2:]) + padding).astype(int)
-        for d in gt_rois
-    ]
-    max_total = [mpa[0] * mpa[1] for mpa in max_per_axis]
-    final_gt_data = []
-    final_im_data = []
-    gt_3D_shape = gt.shape[-3:]
-    for i, gt_roi in enumerate(gt_rois):
-        mt = min(max_total[i], number_of_tiles)
-        mapa = max_per_axis[i]
-        y1 = gt_roi.shape[-2]
-        x1 = gt_roi.shape[-1]
-        tile_slices = []
-        for j in range(mt):
-            x_multi_factor = j % mapa[-1] + 1
-            y_multi_factor = j // mapa[-1] + 1
-            px = (padding * x_multi_factor) - padding
-            py = (padding * y_multi_factor) - padding
-            _y1 = y1 * y_multi_factor + py
-            _x1 = x1 * x_multi_factor + px
-            tile_slices.append(
-                (slice(None), slice(_y1 - y1, _y1), slice(_x1 - x1, _x1))
-            )
-        new_gt_frame = np.zeros(gt_3D_shape, dtype=gt.dtype)
-        new_im_frame = np.random.normal(img.mean(), size=gt_3D_shape)
-        for s in tile_slices:
-            new_gt_frame[s] = gt_roi
-            new_im_frame[s] = im_rois[i]
-        final_gt_data.append(new_gt_frame)
-        final_im_data.append(new_im_frame)
-    final_gt_data = np.squeeze(np.stack(final_gt_data))
-    final_im_data = np.squeeze(np.stack(final_im_data))
+    frame_shape = gt.shape[-3:]
+    gt_frames, im_frames = [], []
+    for roi in shapes_layer.data:
+        sl = roi_slice(roi, gt.ndim)
+        gt_roi, im_roi = gt[sl], img[sl]
+        gt_frame = np.zeros(frame_shape, dtype=gt.dtype)
+        im_frame = np.random.normal(img.mean(), size=frame_shape)
+        for t_ in tile_grid(gt.shape[-2:], gt_roi.shape[-2:],
+                            number_of_tiles):
+            gt_frame[t_] = gt_roi
+            im_frame[t_] = im_roi
+        gt_frames.append(gt_frame)
+        im_frames.append(im_frame)
+    final_gt_data = np.squeeze(np.stack(gt_frames))
+    final_im_data = np.squeeze(np.stack(im_frames))
     if save_dir is not None:
         sp_l = os.path.join(str(save_dir), name + "_labels.zarr")
         zarr_save(sp_l, final_gt_data)
