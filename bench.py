@@ -26,6 +26,12 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: repeat bench runs (the driver's included)
+# skip the ~1-2 min of per-shape compilation. Must be set before jax
+# initialises a backend.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import numpy as np
 
 BASELINE_PATH = os.path.join(

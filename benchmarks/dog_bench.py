@@ -4,8 +4,12 @@ segmentation of a synthetic 64³ blob volume, plus a 256³ scaling point.
 Run: python benchmarks/dog_bench.py
 """
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import numpy as np
 from scipy import ndimage as ndi
