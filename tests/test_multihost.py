@@ -103,6 +103,25 @@ def test_host_frames_round_robin():
     assert mh.host_frames(3, host_id=0, n_hosts=1) == [0, 1, 2]
 
 
+def test_prep_affinity_segmenter(tmp_path):
+    """The affinity branch of the pod prep resolves a checkpoint and
+    allocates the per-frame scratch exactly like the single-host prep."""
+    from iterseg_tpu.engine.segmentation import (
+        _as_layer, affinity_watershed_for_chunks)
+    from iterseg_tpu.models.convert import save_checkpoint
+    from iterseg_tpu.models.unet import UNetSpec, init_params
+
+    ck = str(tmp_path / "u.npz")
+    save_checkpoint(init_params(UNetSpec(1, 5), seed=0), ck)
+    layer = _as_layer(np.zeros((2, 8, 32, 32), np.float32))
+    fn, config = mh._prep("affinity-unet-watershed", layer, ck)
+    assert fn is affinity_watershed_for_chunks
+    assert config["unet"].out_channels == 5
+    assert config["output_volume"].shape == (5, 8, 32, 32)
+    with pytest.raises(ValueError):
+        mh._prep("not-a-segmenter", layer, None)
+
+
 def test_two_process_pod_matches_single_host(stack):
     root, data = stack
     golden = np.asarray(open_zarr(str(root / "out_single.zarr")))
