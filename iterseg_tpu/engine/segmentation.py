@@ -30,7 +30,7 @@ from typing import Callable, Optional, Union
 import numpy as np
 
 from ..core.volume import prepare_volume, restore_labels
-from ..io.zarr_io import save_labels_to_ome, open_zarr
+from ..io.zarr_io import save_labels_to_ome
 from ..ops import watershed as ws
 from ..ops.blob import blob_dog
 from ..ops.edt import edt_np

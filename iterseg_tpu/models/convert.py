@@ -16,7 +16,7 @@ from typing import Dict
 import jax.numpy as jnp
 import numpy as np
 
-from .unet import UNetSpec, init_params
+from .unet import UNetSpec
 
 __all__ = [
     "torch_state_dict_to_params",

@@ -15,8 +15,6 @@ Host path (``edt_np``) defers to scipy for bit-exact float64 behaviour.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ from typing import Union
 
 import numpy as np
 
-from .core.chunks import make_chunks, get_slices_from_chunks
+from .core.chunks import get_slices_from_chunks
 from .engine.segmentation import segmenters
 from .eval.metrics import get_accuracy_metrics, plot_accuracy_metrics
 from .eval.plots import comparison_plots
