@@ -26,11 +26,17 @@ import os
 import sys
 import time
 
-# persistent XLA compile cache: repeat bench runs (the driver's included)
-# skip the ~1-2 min of per-shape compilation. Must be set before jax
-# initialises a backend.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# the session pre-imports jax, so env vars are too late — set the
+# persistent compile cache through jax.config (effective either way)
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_enable_compile_cache()
 
 import numpy as np
 

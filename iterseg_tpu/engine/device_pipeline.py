@@ -376,10 +376,21 @@ class AffinityPipeline:
         if self.absolute_thresh is None:
             thresh = otsu
         else:
-            # under NumPy 2 (NEP 50 weak promotion) the host path's
-            # ``f32_array > python_float`` compares in f32 — so casting
-            # the threshold to f32 matches the host semantics exactly
-            thresh = jnp.float32(float(self.absolute_thresh))
+            t = self.absolute_thresh
+            if isinstance(t, np.floating) and t.dtype == np.float64:
+                # NumPy float64 SCALARS are not NEP-50 "weak": the host
+                # compares f32_array > t in FLOAT64. Matching that on
+                # device needs the largest f32 whose f32-compare agrees
+                # with the f64-compare for every f32 voxel value
+                t64 = float(t)
+                t32 = np.float32(t64)
+                if np.float64(t32) > t64:
+                    t32 = np.nextafter(t32, np.float32(-np.inf))
+                thresh = jnp.float32(t32)
+            else:
+                # python floats (and f32 scalars) are weak under NEP 50:
+                # the host compares in f32, so a straight cast matches
+                thresh = jnp.float32(float(t))
         mask_packed, order, n_cand = self._cand_program(zyx)(
             cent_smooth, out[3], thresh
         )
@@ -439,7 +450,11 @@ class AffinityPipeline:
             raw = np.asarray(stack[t])
             orig_shape = raw.shape
             device = None if devices is None else devices[i % len(devices)]
-            if np.issubdtype(raw.dtype, np.integer):
+            # itemsize <= 4 only: jax canonicalises (u)int64 to 32 bits
+            # with WRAPAROUND on upload, which would corrupt values >= 2^31
+            # — 64-bit integer frames take the f32 host path instead
+            if (np.issubdtype(raw.dtype, np.integer)
+                    and raw.dtype.itemsize <= 4):
                 # keep the source dtype over the link (u16 halves the
                 # bytes of f32) and /max on device — bit-identical to
                 # prepare_volume's host normalisation (max is exact
@@ -484,11 +499,14 @@ class AffinityPipeline:
         import time as _time
 
         # integer volumes upload as-is (half/quarter the bytes) and convert
-        # + normalise on device; float volumes upload as f32
-        if not np.issubdtype(np.asarray(volume).dtype, np.integer):
-            volume = np.ascontiguousarray(volume, dtype=np.float32)
-        else:
+        # + normalise on device; float volumes upload as f32. 64-bit ints
+        # are excluded: jax canonicalises them to 32 bits with wraparound
+        volume = np.asarray(volume)
+        if (np.issubdtype(volume.dtype, np.integer)
+                and volume.dtype.itemsize <= 4):
             volume = np.ascontiguousarray(volume)
+        else:
+            volume = np.ascontiguousarray(volume, dtype=np.float32)
         zyx = volume.shape
 
         t0 = _time.perf_counter()

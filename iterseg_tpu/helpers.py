@@ -195,14 +195,18 @@ def get_dataset(train_dir, out_dir=None, GT=False, validation=False,
     suffixes = ["_image.tif", "_labels.tif", o_s] + (
         ["_GT.tif"] if GT else []
     )
-    stacks = dict(zip(suffixes, get_data_by_id(
-        train_dir, suffixes, out_dir=out_dir, validation=validation
-    )))
+    # one directory scan: the same id list orders the stacks and is what
+    # return_ID hands back (a second scan could disagree if files land
+    # between listings)
+    ids = _run_ids_from_outputs(out_dir, validation)
+    stacks = {
+        s: get_regex_images(train_dir, _ID_REGEX + s, ids) for s in suffixes
+    }
     ordered = [stacks["_labels.tif"], stacks["_image.tif"], stacks[o_s]]
     if GT:
         ordered.append(stacks["_GT.tif"])
     if return_ID:
-        ordered.append(_run_ids_from_outputs(out_dir, validation))
+        ordered.append(ids)
     return tuple(ordered)
 
 

@@ -154,9 +154,11 @@ def multihost_segment_zarr(
     are skipped, as in ``segmentation_loop``) and writes disjoint chunks.
     Returns the list of frames this host processed.
 
-    Intra-host multi-chip frame parallelism composes underneath via
-    ``AffinityPipeline.segment_stack(devices=...)`` on each host's own
-    frames; this layer only decides frame ownership across hosts.
+    This layer only decides frame ownership across hosts; each owned
+    frame is segmented with the standard single-volume path on the
+    host's default device. (For intra-host multi-chip frame parallelism
+    drive ``AffinityPipeline.segment_stack(devices=...)`` directly over a
+    host's frames — this entry point does not wire it.)
     """
     from ..engine.segmentation import segment_single_volume, _as_layer
     from ..io.zarr_io import open_zarr
@@ -210,16 +212,26 @@ def _rows_to_matrix(indexed_rows, columns, n_total):
     return mat
 
 
+# per-process sequence number for file-based exchanges: successive
+# exchanges with the same tag in one run get distinct filenames, so a
+# later exchange can never consume an earlier one's files
+_EXCHANGE_SEQ = {}
+
+
 def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
     """All-gather NaN-padded row matrices across hosts.
 
     Uses DCN collectives (``process_allgather``) when a jax.distributed
     runtime exists; otherwise exchanges part files through the shared
     store (each host can see every other host's save_dir on a pod
-    filesystem — the same assumption the shared output zarr makes). Each
-    host deletes its own part after the exchange, so a later run in the
-    same directory cannot pick up this run's rows; if a run crashes
-    mid-exchange, clear ``.{tag}_part*.npy`` before rerunning.
+    filesystem — the same assumption the shared output zarr makes).
+
+    File protocol safety: every exchange appends a per-process sequence
+    number to the tag (repeat exchanges in one run can't mix), a host
+    REFUSES to start if its own part file already exists (stale state
+    from a crashed run fails loud instead of corrupting the gather), and
+    parts are deleted only after every host has signalled completion.
+    After a crash, clear ``.{tag}*`` in the save_dir before rerunning.
     """
     import jax
 
@@ -235,15 +247,27 @@ def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
         ).reshape(-1, mat.shape[1])
     if n_hosts == 1:
         return mat
+    # keyed by (tag, host): SPMD hosts perform the same exchange sequence,
+    # so equal per-host counters name the same exchange — and keying by
+    # host also keeps thread-simulated hosts in one process aligned
+    seq = _EXCHANGE_SEQ.get((tag, host_id), 0)
+    _EXCHANGE_SEQ[(tag, host_id)] = seq + 1
+    xtag = f"{tag}_x{seq}"
     os.makedirs(save_dir, exist_ok=True)
-    part = os.path.join(save_dir, f".{tag}_part{host_id}.npy")
+    part = os.path.join(save_dir, f".{xtag}_part{host_id}.npy")
+    if os.path.exists(part):
+        raise RuntimeError(
+            f"stale exchange file {part} exists — a previous pod run "
+            f"crashed mid-exchange; remove .{tag}* from {save_dir} on "
+            "every host and rerun"
+        )
     tmp = part + ".tmp.npy"  # np.save appends .npy to bare names
     np.save(tmp, mat)
     os.replace(tmp, part)
     parts = {}
     t0 = time.monotonic()
     for h in range(n_hosts):
-        p = os.path.join(save_dir, f".{tag}_part{h}.npy")
+        p = os.path.join(save_dir, f".{xtag}_part{h}.npy")
         while not os.path.exists(p):
             if time.monotonic() - t0 > 300:
                 raise TimeoutError(f"missing metrics part {p}")
@@ -252,18 +276,16 @@ def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
             try:
                 parts[h] = np.load(p)
                 break
-            except (ValueError, EOFError):
+            except (ValueError, EOFError, FileNotFoundError):
                 time.sleep(0.05)
-    # every host has read every part once all n_hosts files exist AND all
-    # hosts have loaded them; hosts signal completion by touching a .done
-    # marker, and each host removes its own part only after all markers
-    # exist (removing earlier would race a slower host's read)
-    done = os.path.join(save_dir, f".{tag}_done{host_id}")
+    # parts may be deleted only after EVERY host has loaded them; hosts
+    # signal that with a done marker and wait for all markers first
+    done = os.path.join(save_dir, f".{xtag}_done{host_id}")
     with open(done, "w"):
         pass
     t0 = time.monotonic()
     for h in range(n_hosts):
-        d = os.path.join(save_dir, f".{tag}_done{h}")
+        d = os.path.join(save_dir, f".{xtag}_done{h}")
         while not os.path.exists(d):
             if time.monotonic() - t0 > 300:
                 raise TimeoutError(f"missing done marker {d}")
@@ -275,10 +297,10 @@ def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
     # last host to clean also sweeps the markers (best effort)
     try:
         if not any(os.path.exists(os.path.join(
-                save_dir, f".{tag}_part{h}.npy")) for h in range(n_hosts)):
+                save_dir, f".{xtag}_part{h}.npy")) for h in range(n_hosts)):
             for h in range(n_hosts):
                 try:
-                    os.remove(os.path.join(save_dir, f".{tag}_done{h}"))
+                    os.remove(os.path.join(save_dir, f".{xtag}_done{h}"))
                 except OSError:
                     pass
     except OSError:
@@ -314,13 +336,18 @@ def multihost_accuracy_metrics(
     host_id, n_hosts = _resolve_host(host_id, n_hosts)
     slices = list(slices)
     # 3D<->4D promotion once, up front: per-chunk _collect_chunk_scores
-    # calls would otherwise re-stack the full volume for every chunk
+    # calls would otherwise re-stack the full volume for every chunk.
+    # broadcast_to gives the frame-replicated view without copying.
     gt_data = _layer_data(gt_data)
     model_result = _layer_data(model_result)
     if gt_data.ndim == 3 and model_result.ndim == 4:
-        gt_data = np.stack([gt_data] * model_result.shape[0])
+        gt_data = np.broadcast_to(
+            gt_data, (model_result.shape[0],) + gt_data.shape
+        )
     elif model_result.ndim == 3 and gt_data.ndim == 4:
-        model_result = np.stack([model_result] * gt_data.shape[0])
+        model_result = np.broadcast_to(
+            model_result, (gt_data.shape[0],) + model_result.shape
+        )
     template = {
         "VI: GT | Output": [],
         "VI: Output | GT": [],

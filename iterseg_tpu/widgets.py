@@ -671,6 +671,12 @@ def _ground_truth_from_ROI(
     with N(mean) noise. Behaviour parity: _dock_widgets.py:1211-1330
     (tile grid pitch = roi size + padding, row-major placement from the
     frame origin, one output frame per ROI).
+
+    Deviation (fix, see PARITY.md): for >=5D layers the reference builds
+    its leading-axis slices with a ``* extra_dims`` list-multiply
+    (_dock_widgets.py:1240) that duplicates them and raises IndexError;
+    ``roi_slice`` below indexes each leading axis once, so 5D+ inputs
+    work. <=4D behaviour is identical.
     """
 
     def roi_slice(roi, ndim):

@@ -78,9 +78,9 @@ class TestAffinityPipeline:
         np.testing.assert_array_equal(labels_fast, labels_ref)
 
     def test_absolute_thresh_not_f32_representable(self, model):
-        """The host path compares f32 features > float64 threshold; the
-        device compares in f32 against the largest f32 <= threshold — the
-        two must agree for thresholds like 0.4 with no exact f32 form."""
+        """A python-float threshold like 0.4 has no exact f32 form; under
+        NEP 50 the host compares it in f32 (weak scalar) and the device
+        must match exactly."""
         vol = blob_volume(seed=9)
         pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
                                 margin=(1, 8, 8), absolute_thresh=0.4)
@@ -90,6 +90,24 @@ class TestAffinityPipeline:
         labels_ref, _, _ = segment_output_image(
             out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4,
             absolute_thresh=0.4,
+        )
+        np.testing.assert_array_equal(labels_fast, labels_ref)
+
+    def test_absolute_thresh_numpy_float64_scalar(self, model):
+        """np.float64 scalars are NOT NEP-50 weak: the host compares in
+        float64, so the device must use the largest f32 whose f32-compare
+        agrees with the f64-compare (a voxel equal to np.float32(0.4)
+        must PASS the mask: f32(0.4) > 0.4 holds in f64)."""
+        vol = blob_volume(seed=9)
+        t = np.float64(0.4)
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8), absolute_thresh=t)
+        labels_fast = pipe.segment(vol)
+        out_vol = predict_volume(model, vol, chunk_size=(6, 64, 64),
+                                 margin=(1, 8, 8))
+        labels_ref, _, _ = segment_output_image(
+            out_vol, (0, 1, 2), thresholding_channel=3, centroids_channel=4,
+            absolute_thresh=t,
         )
         np.testing.assert_array_equal(labels_fast, labels_ref)
 
