@@ -755,7 +755,13 @@ class DoGPipeline:
         n_cand = int(n_cand)
         k = len(self.sigma_list) - 1
         cube_shape = pshape + (k,)
-        idx_sorted = np.asarray(order[: min(n_cand, self.cand_capacity)])
+        # pow2-capped cached slice: an eager `order[:n_cand]` would compile
+        # a new slice executable for every distinct candidate count (one
+        # per frame on real 4D stacks)
+        live = min(n_cand, self.cand_capacity)
+        cap = 1 << max(int(np.ceil(np.log2(max(live, 1)))), 8)
+        cap = min(cap, self.cand_capacity)
+        idx_sorted = np.asarray(_cached_slice(cap)(order))[:live]
         coords4 = np.stack(np.unravel_index(idx_sorted, cube_shape), axis=1)
         t0 = tick("download", t0)
 
