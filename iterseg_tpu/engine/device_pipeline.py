@@ -805,19 +805,36 @@ class DoGPipeline:
         t0 = tick("gather_distance", t0)
 
         # flood priorities are -sqrt of the exact integer SQUARED
-        # distances: distinct d^2 always map to distinct f32 priorities
-        # (adjacent sqrt gaps ~1e-3 vs f32 ulp ~3e-5 at this range), so
-        # bucketing by d^2 reproduces the heap's (value, age, index) order
-        # exactly — the bucket flood is ~10x the heap on dense EDT masks
-        # (oracle-equality tested in tests/test_watershed.py)
-        keys = np.zeros(mask_w.size, np.int32)
-        keys[masked_idx] = vals_sq.astype(np.int32)
+        # distances: below 2^22, distinct d^2 always map to distinct f32
+        # priorities (adjacent sqrt gaps exceed the f32 ulp — see
+        # ``native.BUCKET_FLOOD_MAX_KEY``), so bucketing by d^2 reproduces
+        # the heap's (value, age, index) order exactly — the bucket flood
+        # is ~10x the heap on dense EDT masks (oracle-equality tested in
+        # tests/test_watershed.py). Past the bound (axis-aligned distances
+        # over ~1180 voxels) sqrt priorities can collide, where the heap
+        # tie-breaks by age — fall back to the exact heap there.
         output = np.where(mask_w, markers_w, 0).astype(np.int32).ravel()
         marker_locations = np.flatnonzero(output).astype(np.int64)
         offsets, _ = neighbor_offsets(wshape)
-        native.bucket_flood_image(
-            keys, offsets, marker_locations, mask_w.ravel(), output,
-        )
+        max_key = int(vals_sq.max()) if m else 0
+        if max_key < native.BUCKET_FLOOD_MAX_KEY:
+            keys = np.zeros(mask_w.size, np.int32)
+            keys[masked_idx] = vals_sq.astype(np.int32)
+            native.bucket_flood_image(
+                keys, offsets, marker_locations, mask_w.ravel(), output,
+            )
+        else:
+            # the f32 cast of the f64 sqrt matches the host path
+            # (image_watershed casts the -EDT image to f32)
+            prio = np.zeros(mask_w.size, np.float32)
+            prio[masked_idx] = (
+                -np.sqrt(vals_sq.astype(np.float64))
+            ).astype(np.float32)
+            val_chan = np.zeros(len(offsets), dtype=np.int64)
+            native.priority_flood(
+                prio[None], offsets, val_chan, offsets, marker_locations,
+                prio[marker_locations], mask_w.ravel(), output,
+            )
         t0 = tick("flood", t0)
         labels = output.reshape(wshape)[1:-1, 1:-1, 1:-1]
         if out is not None:

@@ -46,9 +46,30 @@ class UNetModel:
     """A loaded U-Net: (params, spec) + jitted batched forward."""
 
     def __init__(self, params, spec=None, compute_dtype=jnp.float32):
-        self.params = params
+        self._params = params
         self.spec = spec if spec is not None else infer_spec_from_params(params)
         self.compute_dtype = compute_dtype
+
+    @property
+    def params(self):
+        """The parameter dict the compiled programs close over.
+
+        Contract: to swap weights, ASSIGN a new dict (``model.params =
+        new_params``) — the setter drops the cached compiled feature
+        programs, which bake the old leaf arrays in as constants. Mutating
+        the dict in place (replacing leaf arrays under the same dict
+        object) is NOT supported: already-compiled programs would silently
+        keep serving the old weights.
+        """
+        return self._params
+
+    @params.setter
+    def params(self, new_params):
+        self._params = new_params
+        # compiled chunked-forward programs close over the old leaves
+        # (see device_pipeline.get_feature_program's identity check)
+        self._feature_programs = None
+        self._feature_programs_params = None
 
     @property
     def out_channels(self) -> int:

@@ -45,6 +45,7 @@ __all__ = [
     "otsu_mask",
     "blob_watershed",
     "segmentation_wrapper",
+    "SegmentationWorker",
     "segmentation_loop",
     "segment_single_volume",
     "read_config_json",
@@ -488,19 +489,55 @@ def segmentation_wrapper(
         for t in loop:
             print(f"Segmented t = {t}")
 
-    if threaded and not debug:
-        worker = threading.Thread(target=run, daemon=True)
-        worker.start()
-        worker.join()
-    else:
-        run()
+    def finish():
+        if napari_viewer is not None:
+            return napari_viewer.add_labels(
+                output_labels, name=name, scale=scale, translate=translate
+            )
+        return output_labels
 
-    if napari_viewer is not None:
-        output_layer = napari_viewer.add_labels(
-            output_labels, name=name, scale=scale, translate=translate
-        )
-        return output_layer
-    return output_labels
+    if threaded and not debug:
+        # live background handle (the reference's Qt thread_worker
+        # analog, segmentation.py:808-825): the caller gets control back
+        # immediately and joins via .result()
+        return SegmentationWorker(run, finish)
+    run()
+    return finish()
+
+
+class SegmentationWorker:
+    """Handle to a segmentation running on a background thread.
+
+    ``result()`` joins and returns what the synchronous path would have
+    (the labels array/zarr, or the napari layer when a viewer was given);
+    any exception from the worker re-raises there. ``done`` polls without
+    blocking. The underlying ``threading.Thread`` is at ``.thread``.
+    """
+
+    def __init__(self, run, finish):
+        self._finish = finish
+        self._error = None
+
+        def target():
+            try:
+                run()
+            except BaseException as e:  # re-raised in result()
+                self._error = e
+
+        self.thread = threading.Thread(target=target, daemon=True)
+        self.thread.start()
+
+    @property
+    def done(self) -> bool:
+        return not self.thread.is_alive()
+
+    def result(self, timeout=None):
+        self.thread.join(timeout)
+        if self.thread.is_alive():
+            raise TimeoutError("segmentation worker still running")
+        if self._error is not None:
+            raise self._error
+        return self._finish()
 
 
 def segmentation_loop(

@@ -243,8 +243,75 @@ def _get_translate(ome_meta):
     return translate[non_channel]
 
 
+def _get_contrast(ome_meta):
+    """Contrast limits/ranges from the omero channel windows
+    (reference semantics: iterseg ``_io.py:211-232``)."""
+    contrast_limits = None
+    contrast_range = None
+    channels = ome_meta.get("omero", {}).get("channels")
+    if channels:
+        windows = [ch.get("window", None) for ch in channels]
+        windows = [w for w in windows if w is not None]
+        if 0 < len(windows) < len(channels):
+            raise ValueError(
+                "Either all or no channels should have window/contrast "
+                "limits metadata"
+            )
+        if windows:
+            contrast_limits = [(w["start"], w["end"]) for w in windows
+                               if "start" in w and "end" in w]
+            contrast_range = [(w["min"], w["max"]) for w in windows
+                              if "min" in w and "max" in w]
+    return contrast_limits, contrast_range
+
+
+def _validate_colormap(cmap_str: str) -> str:
+    """Prefix bare hex colormaps with '#' (iterseg ``_io.py:234-241``)."""
+    import string as _string
+
+    if (all(c in _string.hexdigits for c in cmap_str)
+            and not cmap_str.startswith("#")):
+        return "#" + cmap_str
+    return cmap_str
+
+
+def _get_channel_info(ome_meta):
+    """Names, colormaps and visibility for all channels
+    (reference semantics: iterseg ``_io.py:244-274``); each list is either
+    complete or empty (partial per-channel metadata raises)."""
+    names, colormaps, visibles = [], [], []
+    channels = ome_meta.get("omero", {}).get("channels")
+    if channels:
+        names = [ch["label"] for ch in channels if "label" in ch]
+        colormaps = [_validate_colormap(ch["color"]) for ch in channels
+                     if "color" in ch]
+        visibles = [ch["active"] for ch in channels if "active" in ch]
+        for vals, what in ((names, "names"), (colormaps, "color"),
+                           (visibles, "visibility")):
+            if 0 < len(vals) < len(channels):
+                raise ValueError(
+                    f"Either all or no channels should have {what} metadata"
+                )
+    return names, colormaps, visibles
+
+
+def _unwrap(arglist, channel_axis):
+    """Single-channel images take the scalar, not a 1-list
+    (iterseg ``_io.py:276-281``)."""
+    if channel_axis is None and arglist is not None and len(arglist) > 0:
+        return arglist[0]
+    return arglist
+
+
 def ome_to_napari(ome_meta: dict):
-    """OME dict → (napari-style layer kwargs, layer_type)."""
+    """OME dict → (napari-style layer kwargs, layer_type).
+
+    Image layers additionally recover the omero channel metadata the
+    reference reader returns (``_io.py:284-321``): contrast limits,
+    channel names, colormaps and visibility. Deviation (documented):
+    when no omero channel names exist the reference passes ``name=[]``;
+    here ``name`` falls back to the multiscales name instead.
+    """
     layer_type = "labels" if is_ome_labels(ome_meta) else "image"
     axes = ome_meta["multiscales"][0]["axes"]
     meta = {
@@ -258,8 +325,14 @@ def ome_to_napari(ome_meta: dict):
                             if ax["type"] == "channel"][0]
         except IndexError:
             channel_axis = None
+        contrast_limits, _ = _get_contrast(ome_meta)
+        names, colormaps, visibles = _get_channel_info(ome_meta)
         meta["channel_axis"] = channel_axis
-        meta["name"] = ome_meta["multiscales"][0].get("name")
+        meta["contrast_limits"] = _unwrap(contrast_limits, channel_axis)
+        meta["name"] = (_unwrap(names, channel_axis) or
+                        ome_meta["multiscales"][0].get("name"))
+        meta["colormap"] = _unwrap(colormaps, channel_axis)
+        meta["visible"] = _unwrap(visibles, channel_axis)
     return meta, layer_type
 
 

@@ -167,6 +167,16 @@ def priority_flood(values, offsets, val_chan, val_off, markers, seed_values,
     return output
 
 
+# Heap-order equivalence bound for ``bucket_flood_image``: the heap orders
+# by f32 ``-sqrt(k)``, the bucket queue strictly by integer ``k`` — they
+# agree iff distinct keys map to distinct f32 priorities.  For integers
+# a < b, sqrt(b) - sqrt(a) >= 1 / (2*sqrt(b)), while one f32 value spans at
+# most ulp(sqrt(b)) <= sqrt(b) * 2^-23; the gap exceeds the span whenever
+# b < 2^22, so keys below 2^22 are provably collision-free (a 3D EDT hits
+# this only past ~1180 voxels of axis-aligned distance).
+BUCKET_FLOOD_MAX_KEY = 1 << 22
+
+
 def bucket_flood_image(keys, offsets, markers, mask, output):
     """Image-mode priority flood with DISCRETE integer priorities.
 
@@ -175,9 +185,21 @@ def bucket_flood_image(keys, offsets, markers, mask, output):
     watershed): buckets by key instead of a heap — ~10x faster on dense
     masks. ``markers`` must be ascending (flatnonzero order); ``output``
     pre-seeded at markers. In place on raveled int32 ``output``.
+
+    Raises ``ValueError`` when any key reaches ``BUCKET_FLOOD_MAX_KEY``
+    (2^22): beyond it, adjacent integer keys can round to the same f32
+    ``-sqrt`` priority, where the heap falls back to (age, index) ties but
+    the bucket queue still orders strictly by key — callers must use
+    ``priority_flood`` there.
     """
     lib = get_lib()
     keys = np.ascontiguousarray(keys, dtype=np.int32)
+    if keys.size and int(keys.max()) >= BUCKET_FLOOD_MAX_KEY:
+        raise ValueError(
+            f"bucket_flood_image key {int(keys.max())} >= 2^22: f32 -sqrt "
+            "priorities may collide (heap would tie-break by age); use "
+            "priority_flood for this volume"
+        )
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     markers = np.ascontiguousarray(markers, dtype=np.int64)
     mask = np.ascontiguousarray(mask, dtype=np.uint8)
@@ -234,6 +256,13 @@ def band_filter_cc6(mask, min_area, max_area):
     [min_area, max_area) removed). Implemented with the run-based
     union-find kernel (``band_filter_runs``); the per-voxel BFS version
     (``band_filter_bfs``) is kept as its slow oracle.
+
+    Aliasing contract: when ``mask`` is already a C-contiguous uint8
+    array it is filtered IN PLACE and the returned bool array is a view
+    sharing its memory — the caller's input mask is the filtered result
+    afterwards. Any other dtype/layout is copied first (the input is then
+    untouched and the return value owns fresh memory). Pass a copy if the
+    original uint8 mask must survive.
     """
     lib = get_lib()
     m = np.ascontiguousarray(mask, dtype=np.uint8)

@@ -35,6 +35,7 @@ import numpy as np
 
 __all__ = [
     "init_multihost",
+    "set_run_nonce",
     "host_frames",
     "multihost_segment_zarr",
     "multihost_accuracy_metrics",
@@ -54,17 +55,43 @@ def _dist_client():
     return getattr(_dist.global_state, "client", None)
 
 
+# run nonce scoping the file-based metric exchanges: a crashed run's
+# leftover part files can never be consumed by a later run with a
+# different nonce, so recovery needs no manual cleanup
+_RUN_NONCE = [None]
+
+
+def set_run_nonce(nonce):
+    """Set the exchange-file nonce for this run (same value on all hosts —
+    e.g. the scheduler's job id or the coordinator's start time)."""
+    _RUN_NONCE[0] = None if nonce is None else str(nonce)
+
+
+def _run_nonce():
+    if _RUN_NONCE[0] is not None:
+        return _RUN_NONCE[0]
+    return os.environ.get("ITERSEG_RUN_NONCE", "")
+
+
 def init_multihost(coordinator_address=None, num_processes=None,
-                   process_id=None):
+                   process_id=None, run_nonce=None):
     """Join (or start) a ``jax.distributed`` runtime.
 
     On a real pod the arguments come from the cluster environment and this
     is ``jax.distributed.initialize()``; in tests each process passes them
     explicitly (CPU backend, Gloo collectives). No-op if already
     initialised or if ``num_processes == 1``.
+
+    ``run_nonce``: a string identical on every host of THIS run (job id,
+    coordinator start time, ...) that scopes the file-based metric
+    exchange (see ``_allgather_rows``) so stale files from a crashed
+    earlier run are ignored automatically. Falls back to the
+    ``ITERSEG_RUN_NONCE`` env var.
     """
     import jax
 
+    if run_nonce is not None:
+        set_run_nonce(run_nonce)
     if num_processes == 1:
         return
     if _dist_client() is not None:
@@ -226,12 +253,14 @@ def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
     store (each host can see every other host's save_dir on a pod
     filesystem — the same assumption the shared output zarr makes).
 
-    File protocol safety: every exchange appends a per-process sequence
-    number to the tag (repeat exchanges in one run can't mix), a host
-    REFUSES to start if its own part file already exists (stale state
-    from a crashed run fails loud instead of corrupting the gather), and
-    parts are deleted only after every host has signalled completion.
-    After a crash, clear ``.{tag}*`` in the save_dir before rerunning.
+    File protocol safety: every exchange is scoped by the run nonce
+    (``init_multihost(run_nonce=...)``) plus a per-process sequence
+    number (repeat exchanges in one run can't mix, and a crashed earlier
+    run's leftovers are invisible to a new run with a fresh nonce). A
+    host still REFUSES to start if its own part file already exists
+    (same-nonce duplicate = a real bug, fails loud instead of corrupting
+    the gather), and parts are deleted only after every host has
+    signalled completion.
     """
     import jax
 
@@ -247,19 +276,30 @@ def _allgather_rows(mat, save_dir, host_id, n_hosts, tag):
         ).reshape(-1, mat.shape[1])
     if n_hosts == 1:
         return mat
+    if save_dir is None:
+        # the file gather assumes one shared directory every host sees;
+        # silently using each process's CWD would deadlock (or worse,
+        # mix runs) the moment working directories differ
+        raise ValueError(
+            "multihost metrics without a jax.distributed runtime "
+            "exchange part files through the output directory: pass "
+            "out_path= (a directory on the pod's shared filesystem)"
+        )
     # keyed by (tag, host): SPMD hosts perform the same exchange sequence,
     # so equal per-host counters name the same exchange — and keying by
     # host also keeps thread-simulated hosts in one process aligned
     seq = _EXCHANGE_SEQ.get((tag, host_id), 0)
     _EXCHANGE_SEQ[(tag, host_id)] = seq + 1
-    xtag = f"{tag}_x{seq}"
+    nonce = _run_nonce()
+    xtag = f"{tag}_{nonce}_x{seq}" if nonce else f"{tag}_x{seq}"
     os.makedirs(save_dir, exist_ok=True)
     part = os.path.join(save_dir, f".{xtag}_part{host_id}.npy")
     if os.path.exists(part):
         raise RuntimeError(
-            f"stale exchange file {part} exists — a previous pod run "
-            f"crashed mid-exchange; remove .{tag}* from {save_dir} on "
-            "every host and rerun"
+            f"exchange file {part} already exists for THIS run's nonce — "
+            "two runs are sharing a nonce (or one host ran the exchange "
+            "twice); give each pod run a distinct "
+            "init_multihost(run_nonce=...) and rerun"
         )
     tmp = part + ".tmp.npy"  # np.save appends .npy to bare names
     np.save(tmp, mat)
@@ -385,7 +425,7 @@ def multihost_accuracy_metrics(
                       "Count difference", "Count difference (%)"]
     mat = _rows_to_matrix(indexed_rows, live_cols, len(slices))
     gathered = _allgather_rows(
-        mat, out_path or ".", host_id, n_hosts, tag=f"{prefix}_{name}"
+        mat, out_path, host_id, n_hosts, tag=f"{prefix}_{name}"
     )
     gathered = gathered[np.isfinite(gathered[:, 0])]
     gathered = gathered[np.argsort(gathered[:, 0], kind="stable")]

@@ -160,3 +160,72 @@ class TestSegmentSingleVolume:
         assert out.shape == (5, 8, 8)
         assert np.all(out[0] == 0) and np.all(out[4] == 0)
         assert out[1:4, 1:-1, 1:-1].min() == 1
+
+
+class TestThreadedWorker:
+    def test_threaded_returns_live_handle(self):
+        from iterseg_tpu.engine.segmentation import (
+            SegmentationWorker,
+            dog_blob_watershed_for_chunks,
+            dog_blob_watershed_prep_config,
+            segmentation_wrapper,
+        )
+
+        vol, _ = blobby_volume(shape=(8, 48, 48))
+        golden = dog_blob_watershed(None, vol, None, "sync", debug=True)
+        worker = segmentation_wrapper(
+            dog_blob_watershed_for_chunks,
+            dog_blob_watershed_prep_config,
+            None, vol, None, "thr", None, None,
+            (10, 256, 256), (1, 64, 64),
+            debug=False, threaded=True,
+        )
+        assert isinstance(worker, SegmentationWorker)
+        labels = worker.result(timeout=300)
+        assert worker.done
+        np.testing.assert_array_equal(labels, golden)
+
+    def test_threaded_propagates_errors(self):
+        from iterseg_tpu.engine.segmentation import (
+            SegmentationWorker,
+            segmentation_wrapper,
+        )
+
+        def boom(*a, **k):
+            raise RuntimeError("kaboom")
+
+        vol, _ = blobby_volume(shape=(8, 48, 48))
+        worker = segmentation_wrapper(
+            boom, lambda *a: {}, None, vol, None, "err", None, None,
+            (10, 256, 256), (1, 64, 64), debug=False, threaded=True,
+        )
+        assert isinstance(worker, SegmentationWorker)
+        with pytest.raises(RuntimeError, match="kaboom"):
+            worker.result(timeout=300)
+
+
+class TestBucketFloodGuard:
+    def test_large_keys_rejected(self):
+        from iterseg_tpu import native
+
+        keys = np.zeros(64, np.int32)
+        keys[10] = native.BUCKET_FLOOD_MAX_KEY
+        offsets = np.array([-1, 1], np.int64)
+        out = np.zeros(64, np.int32)
+        with pytest.raises(ValueError, match="priority_flood"):
+            native.bucket_flood_image(
+                keys, offsets, np.array([5], np.int64),
+                np.ones(64, np.uint8), out,
+            )
+
+    def test_dog_pipeline_heap_fallback_matches_host(self, monkeypatch):
+        # shrink the bound so a normal fixture takes the heap fallback
+        from iterseg_tpu import native
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        vol, _ = blobby_volume(shape=(8, 48, 48))
+        pipe = DoGPipeline()
+        golden = pipe.segment(vol)
+        monkeypatch.setattr(native, "BUCKET_FLOOD_MAX_KEY", 2)
+        fallback = DoGPipeline().segment(vol)
+        np.testing.assert_array_equal(golden, fallback)

@@ -66,3 +66,99 @@ def test_warm_restart_pattern(tmp_path):
     arr[1] = np.ones((4, 8, 8), np.int32)
     flags = [bool(np.any(arr[t])) for t in range(3)]
     assert flags == [False, True, False]
+
+
+def _image_ome_meta(with_omero=True):
+    meta = {
+        "multiscales": [{
+            "version": "0.4",
+            "name": "img",
+            "axes": [
+                {"name": "c", "type": "channel"},
+                {"name": "z", "type": "space", "unit": "micrometer"},
+                {"name": "y", "type": "space", "unit": "micrometer"},
+                {"name": "x", "type": "space", "unit": "micrometer"},
+            ],
+            "datasets": [{
+                "path": "0",
+                "coordinateTransformations": [
+                    {"type": "scale", "scale": [1.0, 4.0, 1.0, 1.0]},
+                ],
+            }],
+        }],
+    }
+    if with_omero:
+        meta["omero"] = {"channels": [
+            {"label": "nuclei", "color": "00ff00", "active": True,
+             "window": {"start": 10.0, "end": 200.0, "min": 0.0,
+                        "max": 255.0}},
+            {"label": "membrane", "color": "magenta", "active": False,
+             "window": {"start": 0.0, "end": 90.0, "min": 0.0,
+                        "max": 255.0}},
+        ]}
+    return meta
+
+
+def test_ome_channel_metadata_recovered():
+    from iterseg_tpu.io.zarr_io import ome_to_napari
+
+    meta, layer_type = ome_to_napari(_image_ome_meta())
+    assert layer_type == "image"
+    assert meta["channel_axis"] == 0
+    assert meta["contrast_limits"] == [(10.0, 200.0), (0.0, 90.0)]
+    assert meta["name"] == ["nuclei", "membrane"]
+    # bare hex colors get the leading '#'; names pass through
+    assert meta["colormap"] == ["#00ff00", "magenta"]
+    assert meta["visible"] == [True, False]
+
+
+def test_ome_channel_metadata_unwraps_single_channel():
+    from iterseg_tpu.io.zarr_io import ome_to_napari
+
+    m = _image_ome_meta()
+    m["multiscales"][0]["axes"] = m["multiscales"][0]["axes"][1:]  # no c axis
+    m["omero"]["channels"] = m["omero"]["channels"][:1]
+    meta, _ = ome_to_napari(m)
+    assert meta["channel_axis"] is None
+    assert meta["contrast_limits"] == (10.0, 200.0)
+    assert meta["name"] == "nuclei"
+    assert meta["colormap"] == "#00ff00"
+    assert meta["visible"] is True
+
+
+def test_ome_partial_channel_metadata_raises():
+    from iterseg_tpu.io.zarr_io import ome_to_napari
+
+    m = _image_ome_meta()
+    del m["omero"]["channels"][0]["label"]  # partial names
+    with np.testing.assert_raises(ValueError):
+        ome_to_napari(m)
+
+
+def test_ome_without_omero_falls_back_to_multiscales_name():
+    from iterseg_tpu.io.zarr_io import ome_to_napari
+
+    meta, _ = ome_to_napari(_image_ome_meta(with_omero=False))
+    assert meta["name"] == "img"
+    assert meta["contrast_limits"] is None
+
+
+def test_ome_reader_returns_channel_meta(tmp_path):
+    import json
+
+    from iterseg_tpu.io.zarr_io import load_ome_zarr, open_zarr
+
+    p = tmp_path / "img.ome.zarr"
+    p.mkdir()
+    with open(p / ".zgroup", "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(p / ".zattrs", "w") as f:
+        json.dump(_image_ome_meta(), f)
+    arr = open_zarr(p / "0", shape=(2, 4, 8, 8), chunks=(1, 4, 8, 8),
+                    dtype=np.uint16)
+    arr[...] = np.arange(2 * 4 * 8 * 8, dtype=np.uint16).reshape(2, 4, 8, 8)
+    [(data, meta, layer_type)] = load_ome_zarr(p)
+    assert layer_type == "image"
+    assert meta["contrast_limits"] == [(10.0, 200.0), (0.0, 90.0)]
+    assert meta["name"] == ["nuclei", "membrane"]
+    np.testing.assert_allclose(meta["scale"], (4.0, 1.0, 1.0))

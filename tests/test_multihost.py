@@ -196,3 +196,56 @@ def test_metrics_file_gather_matches_single_host(stack, tmp_path):
         pd.testing.assert_frame_equal(scores, g_scores)
         pd.testing.assert_frame_equal(ap, g_ap)
         pd.testing.assert_frame_equal(stats, g_stats)
+
+
+def test_file_gather_requires_out_path():
+    with pytest.raises(ValueError, match="out_path"):
+        mh._allgather_rows(
+            np.zeros((1, 3)), None, host_id=0, n_hosts=2, tag="t"
+        )
+
+
+def test_file_gather_ignores_stale_foreign_nonce(tmp_path):
+    """Leftover part files from a crashed run (different nonce) are
+    invisible to a new run — no manual cleanup needed."""
+    # litter from a hypothetical crashed run with another nonce
+    np.save(tmp_path / ".t_deadrun_x0_part0.npy", np.full((2, 3), -1.0))
+    (tmp_path / ".t_deadrun_x0_done0").touch()
+    mh.set_run_nonce("live123")
+    try:
+        mats = {0: np.arange(6.0).reshape(2, 3),
+                1: np.arange(6.0, 12.0).reshape(2, 3)}
+        results = {}
+
+        def run(host):
+            results[host] = mh._allgather_rows(
+                mats[host], str(tmp_path), host_id=host, n_hosts=2, tag="t"
+            )
+
+        threads = [threading.Thread(target=run, args=(h,)) for h in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        expected = np.concatenate([mats[0], mats[1]], axis=0)
+        for host in (0, 1):
+            np.testing.assert_array_equal(results[host], expected)
+        # the stale foreign part file was never consumed nor deleted
+        assert (tmp_path / ".t_deadrun_x0_part0.npy").exists()
+        # this run's own files were cleaned up
+        assert not list(tmp_path.glob(".t_live123*part*.npy"))
+    finally:
+        mh.set_run_nonce(None)
+
+
+def test_same_nonce_duplicate_fails_loud(tmp_path):
+    mh.set_run_nonce("dup")
+    try:
+        np.save(tmp_path / ".t2_dup_x0_part0.npy", np.zeros((1, 3)))
+        with pytest.raises(RuntimeError, match="nonce"):
+            mh._allgather_rows(
+                np.zeros((1, 3)), str(tmp_path), host_id=0, n_hosts=2,
+                tag="t2",
+            )
+    finally:
+        mh.set_run_nonce(None)
