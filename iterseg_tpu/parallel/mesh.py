@@ -83,13 +83,18 @@ def sharded_apply(params, spec, mesh: Mesh):
 
 
 def make_sharded_train_step(mesh: Mesh, spec, loss_fn, optimizer,
-                            double_step=True):
+                            double_step=True, chan_log_fn=None,
+                            n_channels=None):
     """Data+space-parallel training step.
 
     The global batch is sharded over the 'data' axis (one or more samples
     per device) with the x spatial axis sharded over 'space'; parameters and
     optimiser state are replicated. Because the loss is a global mean, the
     partitioner emits the gradient all-reduce over ICI.
+
+    With ``chan_log_fn``/``n_channels`` set, the step additionally returns
+    the per-channel losses of the batch (the training-CSV columns
+    ``train_unet`` logs), computed inside the same compiled program.
     """
     import optax
 
@@ -101,9 +106,9 @@ def make_sharded_train_step(mesh: Mesh, spec, loss_fn, optimizer,
         def loss_wrapped(tr):
             p = {**tr, **bn_state}
             out, updates = unet_mod.forward(p, spec, x, train=True)
-            return loss_fn(out, y, epoch), updates
+            return loss_fn(out, y, epoch), (out, updates)
 
-        (loss, updates), grads = jax.value_and_grad(
+        (loss, (out, updates)), grads = jax.value_and_grad(
             loss_wrapped, has_aux=True
         )(trainable)
         u1, opt_state = optimizer.update(grads, opt_state, trainable)
@@ -112,6 +117,13 @@ def make_sharded_train_step(mesh: Mesh, spec, loss_fn, optimizer,
             u2, opt_state = optimizer.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, u2)
         bn_state = {**bn_state, **updates}
+        if chan_log_fn is not None:
+            from ..train.losses import channel_losses
+
+            chan = jnp.stack(
+                channel_losses(out, y, chan_log_fn, n_channels, epoch)
+            )
+            return trainable, bn_state, opt_state, loss, chan
         return trainable, bn_state, opt_state, loss
 
     def run(trainable, bn_state, opt_state, x, y, epoch=0):

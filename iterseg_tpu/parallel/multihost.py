@@ -163,6 +163,37 @@ def _prep(segmenter, data_layer, network_or_config_file):
     raise ValueError(f"unknown segmenter {segmenter!r}")
 
 
+class _FrameSubset:
+    """4D-stack view of selected frame indices of a (possibly 3D) array."""
+
+    def __init__(self, data, idxs):
+        self._data = data
+        self._idxs = list(idxs)
+        zyx = tuple(data.shape[-3:])
+        self.shape = (len(self._idxs),) + zyx
+        self.ndim = 4
+
+    def __getitem__(self, t):
+        if getattr(self._data, "ndim", 4) == 3:
+            return np.asarray(self._data[...])
+        return np.asarray(self._data[self._idxs[t]])
+
+
+class _FrameSubsetOut:
+    """Write adapter: local frame t → global frame idxs[t] of the store."""
+
+    def __init__(self, out, idxs):
+        self._out = out
+        self._idxs = list(idxs)
+        self.shape = (len(self._idxs),) + tuple(out.shape[-3:])
+
+    def __getitem__(self, t):
+        return self._out[self._idxs[t]]
+
+    def __setitem__(self, t, value):
+        self._out[self._idxs[t]] = np.asarray(value).astype(np.uint32)
+
+
 def multihost_segment_zarr(
     input_zarr,
     output_zarr,
@@ -172,6 +203,7 @@ def multihost_segment_zarr(
     margin=(1, 64, 64),
     host_id=None,
     n_hosts=None,
+    devices=None,
 ):
     """Segment a (t, z, y, x) zarr timeseries across a pod of hosts.
 
@@ -181,11 +213,13 @@ def multihost_segment_zarr(
     are skipped, as in ``segmentation_loop``) and writes disjoint chunks.
     Returns the list of frames this host processed.
 
-    This layer only decides frame ownership across hosts; each owned
-    frame is segmented with the standard single-volume path on the
-    host's default device. (For intra-host multi-chip frame parallelism
-    drive ``AffinityPipeline.segment_stack(devices=...)`` directly over a
-    host's frames — this entry point does not wire it.)
+    Pod x chips composition: for the affinity segmenter each host drives
+    ``AffinityPipeline.segment_stack`` over its frame shard, which
+    round-robins those frames across ``devices`` (pass
+    ``jax.local_devices()`` on a pod host; default = pipelined
+    single-device). Labels are bit-identical to the single-host,
+    single-device path (the pipeline shares its compiled programs with
+    the generic path; tested in ``tests/test_multihost.py``).
     """
     from ..engine.segmentation import segment_single_volume, _as_layer
     from ..io.zarr_io import open_zarr
@@ -211,6 +245,24 @@ def multihost_segment_zarr(
 
     mine = host_frames(n_frames, host_id, n_hosts)
     done = []
+    # intra-host multi-chip stack path (same gating as segmentation_loop's
+    # pipelined 4D branch: a 5-channel affinity U-Net config)
+    use_stack = (
+        config.get("pipeline_cache") is not None
+        and config.get("unet") is not None
+        and getattr(config.get("output_volume"), "shape", (0,))[0] == 5
+    )
+    if use_stack and mine:
+        from ..engine.device_pipeline import AffinityPipeline
+
+        pipe = AffinityPipeline(config["unet"], chunk_size=chunk_size,
+                                margin=margin)
+        sub_in = _FrameSubset(data, mine)
+        sub_out = _FrameSubsetOut(out, mine)
+        for t_local in pipe.segment_stack(sub_in, sub_out, devices=devices):
+            done.append(mine[t_local])
+        _barrier("iterseg:segment_done")
+        return done
     for t in mine:
         if np.any(np.asarray(out[t])):
             continue  # warm restart: skip before paying the input read

@@ -135,6 +135,9 @@ def train_unet(
     double_step=True,
     validate_in_train_mode=True,
     seed=0,
+    # TPU-native scaling (keyword-only extensions)
+    mesh=None,
+    n_devices=None,
     **kwargs,
 ):
     """Train the anisotropic U-Net. Signature parity with iterseg
@@ -142,6 +145,18 @@ def train_unet(
 
     ``x/vx``: lists of (z, y, x) image chunks (arrays or zarr-backed);
     ``y/vy``: matching (C, z, y, x) target chunks.
+
+    ``mesh`` / ``n_devices``: TPU-native extensions that shard training
+    over a device mesh (``parallel.mesh.make_sharded_train_step``): the
+    chunk list is batched across the mesh's ``data`` axis (one chunk per
+    data-row per step, x spatially sharded over ``space``, gradients
+    all-reduced over ICI by the partitioner). Documented deviation from
+    the reference's batch-size-1 loop (train.py:272-273): each optimiser
+    step averages gradients over ``data``-many chunks (so an epoch takes
+    ``ceil(n/data)`` steps) and BatchNorm uses cross-chunk batch
+    statistics; a tail batch repeat-pads the last chunk. Loss CSVs get
+    one row per step with the batched ids joined by ``;``. Default
+    (``mesh=None``) keeps exact batch-1 reference semantics.
     """
     from ..engine.predict import UNetModel
     from ..models.unet import init_params
@@ -180,6 +195,18 @@ def train_unet(
         if loss_function in ("BCELoss", "DiceLoss", "DICELoss", "MSELoss")
         else make_loss_function("BCELoss")
     )
+    if mesh is None and n_devices is not None:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(int(n_devices))
+    sharded_step = None
+    if mesh is not None:
+        from ..parallel.mesh import make_sharded_train_step
+
+        sharded_step = make_sharded_train_step(
+            mesh, spec, loss_fn, optimizer, double_step=double_step,
+            chan_log_fn=chan_log_fn, n_channels=len(channels),
+        )
     train_step, val_step = _make_steps(
         spec, optimizer, loss_fn, chan_log_fn, len(channels), double_step,
         validate_in_train_mode,
@@ -221,37 +248,83 @@ def train_unet(
                 write_log(s, out_dir)
         return v_y_hats
 
+    def _load_batch(idxs):
+        """Stack chunks idxs into a ((b,1,z,y,x), (b,C,z,y,x)) numpy batch."""
+        xb = np.stack([
+            np.asarray(load_tensor_from_zarr(0, [x[i]]), dtype=np.float32)
+            for i in idxs
+        ])[:, None]
+        yb = np.stack([
+            np.asarray(load_tensor_from_zarr(0, [y[i]]), dtype=np.float32)
+            for i in idxs
+        ])
+        return xb, yb
+
+    def _record(e, step_no, loss, chan, data_id):
+        loss_dict["epoch"].append(e)
+        loss_dict["batch_num"].append(step_no)
+        loss_dict["loss"].append(loss)
+        loss_dict["data_id"].append(data_id)
+        for ci, c in enumerate(channels):
+            loss_dict[c].append(float(chan[ci]))
+
+    dp = mesh.shape["data"] if mesh is not None else 1
+    n_steps = -(-len(x) // dp) if len(x) else 0
     for e in range(epochs):
         if validate and e == 0:
             v_y_hats = run_validation(0, 0)
         running_loss = 0.0
-        batch = _prep(x[0], y[0]) if len(x) else None
-        for i in range(len(x)):
-            xb, yb = batch
-            trainable, bn_state, opt_state, loss, chan = train_step(
-                trainable, bn_state, opt_state, xb, yb, e
-            )
-            if i + 1 < len(x):
-                # double-buffer: read + upload the next chunk while the
-                # dispatched step runs on device
-                batch = _prep(x[i + 1], y[i + 1])
-            loss = float(loss)
-            chan = np.asarray(chan)
-            loss_dict["epoch"].append(e)
-            loss_dict["batch_num"].append(i)
-            loss_dict["loss"].append(loss)
-            loss_dict["data_id"].append(ids[i])
-            for ci, c in enumerate(channels):
-                loss_dict[c].append(float(chan[ci]))
-            running_loss += loss
-            if i % update_every == (update_every - 1):
-                s = f"Epoch {e} - running loss: {running_loss / update_every}"
-                print(s)
-                if log and save_output:
-                    write_log(s, out_dir)
-                running_loss = 0.0
+        if sharded_step is not None:
+            # mesh path: dp chunks per step, repeat-padded tail batch
+            steps = []
+            for b0 in range(0, len(x), dp):
+                idxs = list(range(b0, min(b0 + dp, len(x))))
+                steps.append(idxs + [idxs[-1]] * (dp - len(idxs)))
+            batch = _load_batch(steps[0]) if steps else None
+            for si, idxs in enumerate(steps):
+                xb, yb = batch
+                trainable, bn_state, opt_state, loss, chan = sharded_step(
+                    trainable, bn_state, opt_state, xb, yb, e
+                )
+                if si + 1 < len(steps):
+                    batch = _load_batch(steps[si + 1])
+                loss = float(loss)
+                _record(e, si, loss, np.asarray(chan), ";".join(
+                    ids[i] for i in dict.fromkeys(idxs)
+                ))
+                running_loss += loss
+                if si % update_every == (update_every - 1):
+                    s = (f"Epoch {e} - running loss: "
+                         f"{running_loss / update_every}")
+                    print(s)
+                    if log and save_output:
+                        write_log(s, out_dir)
+                    running_loss = 0.0
+        else:
+            batch = _prep(x[0], y[0]) if len(x) else None
+            for i in range(len(x)):
+                xb, yb = batch
+                trainable, bn_state, opt_state, loss, chan = train_step(
+                    trainable, bn_state, opt_state, xb, yb, e
+                )
+                if i + 1 < len(x):
+                    # double-buffer: read + upload the next chunk while
+                    # the dispatched step runs on device
+                    batch = _prep(x[i + 1], y[i + 1])
+                loss = float(loss)
+                _record(e, i, loss, np.asarray(chan), ids[i])
+                running_loss += loss
+                if i % update_every == (update_every - 1):
+                    s = (f"Epoch {e} - running loss: "
+                         f"{running_loss / update_every}")
+                    print(s)
+                    if log and save_output:
+                        write_log(s, out_dir)
+                    running_loss = 0.0
         if validate:
-            v_y_hats = run_validation(e, (e + 1) * len(x))
+            v_y_hats = run_validation(
+                e, (e + 1) * (n_steps if sharded_step is not None else len(x))
+            )
         if save_output:
             print("Saving Training Checkpoint...")
             _save_checkpoint_file({**trainable, **bn_state}, out_dir,

@@ -249,3 +249,80 @@ def test_same_nonce_duplicate_fails_loud(tmp_path):
             )
     finally:
         mh.set_run_nonce(None)
+
+
+_AUW_DRIVER = """
+import os, sys
+pid, port, root = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+if "jax" in sys.modules:  # sitecustomize pre-imported jax: reset to CPU
+    import jax
+    from jax._src import xla_bridge as _xb
+    _xb._clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+import numpy as np
+from iterseg_tpu.parallel import multihost as mh
+
+mh.init_multihost(f"localhost:{port}", num_processes=2, process_id=pid)
+import jax
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.local_devices()) == 2, jax.local_devices()
+
+done = mh.multihost_segment_zarr(
+    os.path.join(root, "in.zarr"), os.path.join(root, "out_auw_mh.zarr"),
+    segmenter="affinity-unet-watershed",
+    network_or_config_file=os.path.join(root, "u.npz"),
+    chunk_size=(8, 32, 32), margin=(1, 4, 4),
+    devices=jax.local_devices(),
+)
+assert all(t % 2 == pid for t in done), (pid, done)
+print("HOST", pid, "DONE", done, flush=True)
+"""
+
+
+def test_two_process_pod_with_two_chips_each_matches_single_host(stack,
+                                                                 tmp_path):
+    """Pod x chips: 2 real processes (gloo runtime), each driving a
+    2-device CPU mesh via segment_stack(devices=...) for the affinity
+    segmenter — labels bit-match the single-host single-device run."""
+    from iterseg_tpu.models.convert import save_checkpoint
+    from iterseg_tpu.models.unet import UNetSpec, init_params
+
+    root, data = stack
+    save_checkpoint(init_params(UNetSpec(1, 5), seed=0), root / "u.npz")
+    # single-host single-device golden through the same public entry
+    # point, in its OWN subprocess with the same backend config as the
+    # pod processes (2 CPU devices): different XLA backend configs can
+    # compile float programs with e.g. different FMA contraction, so
+    # bit-identity is only claimed within one backend config
+    golden_driver = _AUW_DRIVER.replace(
+        "mh.init_multihost(f\"localhost:{port}\", num_processes=2, process_id=pid)",
+        "").replace(
+        "assert jax.process_count() == 2, jax.process_count()", "").replace(
+        "out_auw_mh.zarr", "out_auw_single.zarr").replace(
+        "devices=jax.local_devices(),",
+        "host_id=0, n_hosts=1,").replace(
+        "assert all(t % 2 == pid for t in done), (pid, done)", "")
+    gp = subprocess.run(
+        [sys.executable, "-c", golden_driver, "0", "0", str(root)],
+        env=dict(os.environ), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, timeout=560,
+    )
+    assert gp.returncode == 0, gp.stdout.decode()[-2000:]
+    port = _free_port()
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _AUW_DRIVER, str(pid), str(port),
+             str(root)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=560)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+    golden = np.asarray(open_zarr(str(root / "out_auw_single.zarr")))
+    pod = np.asarray(open_zarr(str(root / "out_auw_mh.zarr")))
+    assert golden.max() > 0
+    np.testing.assert_array_equal(pod, golden)

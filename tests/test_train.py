@@ -263,3 +263,62 @@ class TestSaturationSafety:
             torch.tensor([1.0, 0.0, 1.0, 0.0, 1.0, 0.0]),
         ).item()
         assert abs(float(bce_loss(x, y)) - ref) < 1e-4
+
+
+class TestShardedTrainUnet:
+    """The public mesh path (train_unet(mesh=...)): data+space-sharded
+    steps via parallel.mesh.make_sharded_train_step."""
+
+    def test_mesh_training_end_to_end(self, tmp_path):
+        import pandas as pd
+        from scipy import ndimage as ndi
+
+        from iterseg_tpu.parallel.mesh import make_mesh
+        from iterseg_tpu.train.labels import get_training_labels
+
+        r = np.random.default_rng(0)
+        vol = np.zeros((4, 32, 32), np.float32)
+        for c in np.stack([r.integers(1, s - 1, size=6) for s in vol.shape],
+                          1):
+            vol[tuple(c)] = 1.0
+        img = ndi.gaussian_filter(vol, (1, 2, 2))
+        img = img / img.max()
+        gt, _ = ndi.label(img > 0.3)
+        chans = ("z-1", "y-1", "x-1", "mask", "centreness-log")
+        yvol = get_training_labels(gt, chans, (4, 1, 1))
+        xs = [img, img, img]  # 3 chunks, dp=2 -> 2 steps (tail repeat-pad)
+        ys = [yvol, yvol, yvol]
+        mesh = make_mesh(8)
+        assert dict(mesh.shape) == {"data": 2, "space": 4}
+        model, path = train_mod.train_unet(
+            x=xs, vx=xs[:1], y=ys, vy=ys[:1],
+            out_dir=str(tmp_path), name="tm", channels=chans,
+            epochs=2, lr=0.01, update_every=1, mesh=mesh,
+        )
+        assert path is not None and os.path.exists(path)
+        df = pd.read_csv(tmp_path / "loss_tm.csv")
+        assert len(df) == 4  # 2 epochs x 2 sharded steps
+        assert set(chans) <= set(df.columns)
+        assert np.isfinite(df["loss"]).all()
+        # tail step logs its (deduplicated) batched ids joined by ';'
+        assert df["data_id"].iloc[0].count(";") == 1
+        assert df["data_id"].iloc[1].count(";") == 0
+        vdf = pd.read_csv(tmp_path / "validation-loss_tm.csv")
+        assert len(vdf) == 3
+        out = model(np.zeros((1, 1, 4, 32, 32), np.float32))
+        assert out.shape == (1, 5, 4, 32, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_n_devices_kwarg_builds_mesh(self):
+        r = np.random.default_rng(1)
+        shape = (2, 16, 32)
+        xs = [r.random(shape, dtype=np.float32) for _ in range(2)]
+        ys = [(r.random((5,) + shape) > 0.5).astype(np.float32)
+              for _ in range(2)]
+        model, path = train_mod.train_unet(
+            x=xs, vx=[], y=ys, vy=[], out_dir=None, epochs=1,
+            n_devices=8, validate=False,
+        )
+        assert path is None
+        out = model(np.zeros((1, 1) + shape, np.float32))
+        assert np.isfinite(np.asarray(out)).all()
