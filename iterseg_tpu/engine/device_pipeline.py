@@ -226,7 +226,7 @@ def _build_feature_program(model, zyx, chunk_size, margin, microbatch,
 
     assemble = jax.jit(assemble_fn)
 
-    def program(vol, device=None):
+    def program(vol, device=None, _slabs=None):
         vol = np.asarray(vol)
         if any(p[1] for p in pads):
             vol = np.pad(vol, pads, mode="edge")
@@ -236,11 +236,27 @@ def _build_feature_program(model, zyx, chunk_size, margin, microbatch,
             denom = jnp.float32(1.0)
         ys = []
         for b, (z0, z1) in enumerate(slab_of):
-            slab = np.ascontiguousarray(vol[z0:z1])
-            sd = jax.device_put(slab, device)  # async H2D
-            ys.append(fwd_for(slab.shape, rel_starts[b])(sd, denom))
+            if _slabs is not None:  # profiling hook: pre-uploaded slabs
+                sd = _slabs[b]
+            else:
+                slab = np.ascontiguousarray(vol[z0:z1])
+                sd = jax.device_put(slab, device)  # async H2D
+            ys.append(fwd_for(sd.shape, rel_starts[b])(sd, denom))
         return assemble(*ys)
 
+    def upload_slabs(vol, device=None):
+        """Pre-upload all z-slabs (benchmark attribution hook): lets a
+        caller time the compute with H2D taken out of the loop."""
+        vol = np.asarray(vol)
+        if any(p[1] for p in pads):
+            vol = np.pad(vol, pads, mode="edge")
+        return [
+            jax.device_put(np.ascontiguousarray(vol[z0:z1]), device)
+            for z0, z1 in slab_of
+        ]
+
+    program.upload_slabs = upload_slabs
+    program.slab_of = slab_of
     return program
 
 

@@ -105,10 +105,14 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
     an actual path is honoured (the reference leaves ``unet`` unbound and
     crashes, segmentation.py:98-107).
 
-    ``compute_dtype``: TPU-native extension — "bfloat16" runs the U-Net
-    forward in bf16 on the MXU (~2x faster); labels then agree with the
-    f32 path only statistically, so it is strictly opt-in (keyword or a
-    ``"compute_dtype"`` key in the JSON config).
+    ``compute_dtype``: TPU-native extension — "bfloat16" keeps weights
+    and activations in bf16. The f32 path already runs bf16-operand MXU
+    matmuls (JAX default precision), so this mainly halves activation
+    memory; measured ~7% faster device phase on v5e
+    (benchmarks/attribution.json), usually lost in host-link noise end to
+    end. Labels then agree with the f32 path only statistically, so it is
+    strictly opt-in (keyword or a ``"compute_dtype"`` key in the JSON
+    config).
     """
     unet = None
     affinities_extent = 1
@@ -232,8 +236,10 @@ def affinity_unet_watershed(
     keyword-only TPU extensions: ``devices`` — a list of jax devices to
     round-robin 4D frames across (frame parallelism over the chip mesh;
     labels identical to single-device execution) — and ``compute_dtype``
-    — e.g. "bfloat16" to run the forward on the MXU in bf16 (~2x faster;
-    labels agree with f32 statistically, not bitwise).
+    — e.g. "bfloat16" to keep the forward's weights/activations in bf16
+    (measured ~7% faster device phase — the f32 path already uses
+    bf16-operand MXU passes; labels agree with f32 statistically, not
+    bitwise).
     """
     prep = affinity_watershed_prep_config
     if compute_dtype is not None:

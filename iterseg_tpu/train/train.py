@@ -14,8 +14,8 @@ Reference quirks handled explicitly:
 - **Validation in train mode**: the reference never calls ``model.eval()``,
   so validation uses batch statistics *and updates the running stats*.
   Replicated (``validate_in_train_mode=True`` default).
-- Validation predictions are saved as ``.npy`` (the reference writes tiffs;
-  tifffile is not a dependency here).
+- Validation predictions are saved as multi-page float32 ``.tif`` files
+  (the reference's contract, train.py:425-432), written with PIL.
 
 The jitted train step fuses forward+backward+both Adam applications into a
 single XLA program; parameters stay on device across the epoch loop and the
@@ -411,10 +411,20 @@ def _save_final_results(params, out_dir, name, ids, validate, loss_dict,
 
 
 def _save_output(y_hats, ids, out_dir, name=""):
+    """Save validation predictions as multi-page float32 tiffs, honouring
+    the reference's file contract ``<id><name>_output.tif``
+    (train.py:425-432, which uses tifffile). tifffile is not a dependency
+    here; PIL writes the same planes as 32-bit-float pages (the leading
+    (batch, channel, z) axes are flattened into the page sequence)."""
     if y_hats is None:
         return
     assert len(y_hats) == len(ids)
     os.makedirs(out_dir, exist_ok=True)
+    from PIL import Image
+
     for i in range(len(y_hats)):
-        p = os.path.join(out_dir, ids[i] + name + "_output.npy")
-        np.save(p, np.asarray(y_hats[i]))
+        p = os.path.join(out_dir, ids[i] + name + "_output.tif")
+        arr = np.asarray(y_hats[i], dtype=np.float32)
+        planes = arr.reshape((-1,) + arr.shape[-2:])
+        pages = [Image.fromarray(pl, mode="F") for pl in planes]
+        pages[0].save(p, save_all=True, append_images=pages[1:])
