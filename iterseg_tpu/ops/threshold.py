@@ -79,16 +79,24 @@ def _histogram_f32(x, nbins: int):
     m_int = m * jnp.float32(1 << 24)  # 24-bit integer, exact
     m_hi = jnp.floor(m_int / 4096.0)  # top 12 bits
     m_lo = m_int - m_hi * 4096.0  # low 12 bits, exact
-    i = jnp.arange(nbins + 1, dtype=jnp.float32)
-    s = (i * m_hi) * 4096.0 + (i * m_lo)  # fl32(i * m_int): one rounding
-    edges = jnp.ldexp(s, e - 24) + lo
-    edges = edges.at[-1].set(hi)
+
+    def edge_at(i_arr):
+        # the linspace edge as pure per-element arithmetic of the index:
+        # a gather ``edges[idx]`` over the voxel array lowers to a ~150 ms
+        # table-lookup fusion on TPU (measured, 256^3), while this is a
+        # bit-identical (same ops on the same values) elementwise recipe
+        i_f = i_arr.astype(jnp.float32)
+        s = (i_f * m_hi) * 4096.0 + (i_f * m_lo)  # fl32(i * m_int)
+        val = jnp.ldexp(s, e - 24) + lo
+        return jnp.where(i_arr == nbins, hi, val)  # np endpoint override
+
+    edges = edge_at(jnp.arange(nbins + 1, dtype=jnp.int32))
     f_idx = ((x - lo) / d) * nbins
     idx = f_idx.astype(jnp.int32)
     idx = jnp.where(idx == nbins, nbins - 1, idx)
-    dec = x < edges[idx]
+    dec = x < edge_at(idx)
     idx = idx - dec.astype(jnp.int32)
-    inc = (x >= edges[idx + 1]) & (idx != nbins - 1)
+    inc = (x >= edge_at(idx + 1)) & (idx != nbins - 1)
     idx = idx + inc.astype(jnp.int32)
     # compare-and-reduce histogram: exact integer counts, an order of
     # magnitude faster than scatter-add here — fused into a larger program,
