@@ -158,6 +158,18 @@ def sharded_predict_volume(model, volume, mesh: Mesh,
         replicate_params(model.params, mesh), model.spec, mesh
     )
     dp = mesh.shape["data"]
+
+    def assemble(yb_dev, b0, b1):
+        yb = np.asarray(yb_dev)  # the only host sync point per batch
+        for i in range(b0, b1):
+            cr = tuple(slice(int(lo), int(hi)) for lo, hi in crops[i])
+            sl = (slice(None),) + chunk_slices(starts[i], chunk_size)
+            out[sl][(slice(None),) + cr] = yb[i - b0][(slice(None),) + cr]
+
+    # Double-buffered: dispatch batch b+1 (JAX async) before consuming
+    # batch b on host, so host assembly overlaps device compute — same
+    # pattern as the single-device predictor (engine/predict.py).
+    pending = None
     for b0 in range(0, n, dp):
         b1 = min(b0 + dp, n)
         xb = np.stack(
@@ -168,9 +180,10 @@ def sharded_predict_volume(model, volume, mesh: Mesh,
             xb = np.concatenate(
                 [xb, np.zeros((dp - xb.shape[0],) + xb.shape[1:], xb.dtype)]
             )
-        yb = np.asarray(run(xb))
-        for i in range(b0, b1):
-            cr = tuple(slice(int(lo), int(hi)) for lo, hi in crops[i])
-            sl = (slice(None),) + chunk_slices(starts[i], chunk_size)
-            out[sl][(slice(None),) + cr] = yb[i - b0][(slice(None),) + cr]
+        yb_dev = run(xb)
+        if pending is not None:
+            assemble(*pending)
+        pending = (yb_dev, b0, b1)
+    if pending is not None:
+        assemble(*pending)
     return out
