@@ -41,9 +41,15 @@ def main():
         vol = blob_volume(size, n)
         # warmup (device gaussian compiles)
         dog_blob_watershed(None, vol, None, "warm", debug=True)
-        t0 = time.perf_counter()
-        labels = dog_blob_watershed(None, vol, None, "timed", debug=True)
-        dt = time.perf_counter() - t0
+        # median of several runs: the host tunnel's bandwidth swings ~2x
+        # run-to-run (CLAUDE.md), so a single sample is weather, not speed
+        ts = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            labels = dog_blob_watershed(None, vol, None, f"timed{i}",
+                                        debug=True)
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
         voxels = vol.size
         print(json.dumps({
             "metric": f"DoG-blob-watershed end-to-end on {size}^3",
@@ -51,6 +57,7 @@ def main():
             "unit": "voxels/sec",
             "objects": int(labels.max()),
             "seconds": round(dt, 2),
+            "runs": [round(t, 2) for t in ts],
         }))
 
 
