@@ -81,6 +81,45 @@ def _cached_slice(k):
     return _GATHER_CACHE[key]
 
 
+def _cached_flood_prep(pshape, cap):
+    """Device program for the ``device_flood`` mode's inputs: unpack
+    host-packed mask bits (a ~2 MB upload instead of a 17 MB u8 mask on
+    256³) and scatter the seed labels. ``cap`` rows of ``coords``/``labs``
+    with zero-label padding (a 0 scattered at the border corner is inert:
+    the border ring is outside the mask)."""
+    key = ("flood_prep", pshape, cap)
+    if key not in _GATHER_CACHE:
+        psize = int(np.prod(pshape))
+
+        @jax.jit
+        def fn(bits, coords, labs):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits MSB
+            flat = ((bits[:, None] >> shifts) & 1).reshape(-1)[:psize]
+            mask = flat.astype(bool).reshape(pshape)
+            seeds = jnp.zeros(pshape, jnp.int32).at[
+                coords[:, 0], coords[:, 1], coords[:, 2]
+            ].max(labs)
+            return mask, seeds
+
+        _GATHER_CACHE[key] = fn
+    return _GATHER_CACHE[key]
+
+
+def _cached_crop_cast(pshape, wide):
+    """Crop the padding ring + cast labels to the wire dtype on device
+    (u16 when the seed count allows — halves the label download)."""
+    key = ("crop_cast", pshape, bool(wide))
+    if key not in _GATHER_CACHE:
+        dtype = jnp.int32 if wide else jnp.uint16
+
+        @jax.jit
+        def fn(lab):
+            return lab[1:-1, 1:-1, 1:-1].astype(dtype)
+
+        _GATHER_CACHE[key] = fn
+    return _GATHER_CACHE[key]
+
+
 def _valid_grid(zyx, chunk_size, margin):
     """Pad/clamp logic shared with predict_volume: z even, y/x %16 chunks."""
     mults = (2, 16, 16)
@@ -318,7 +357,7 @@ class AffinityPipeline:
     def __init__(self, model, chunk_size=(10, 256, 256),
                  margin=(1, 64, 64), absolute_thresh=None,
                  microbatch=None, cand_capacity: int = _CAND_CAP,
-                 normalize: bool = False):
+                 normalize: bool = False, device_flood: bool = False):
         self.model = model
         self.chunk_size = tuple(chunk_size)
         self.margin = tuple(margin)
@@ -328,6 +367,11 @@ class AffinityPipeline:
         self.cand_capacity = cand_capacity
         self.normalize = normalize  # divide by max on device (device twin
         # of segment_single_volume's host normalisation; bit-identical f32)
+        self.device_flood = device_flood  # opt-in APPROXIMATE on-device
+        # wavefront flood instead of the exact host heap (ops/device_flood;
+        # ~97-99.7% label agreement, measured faster on dense >~15% masks —
+        # see benchmarks/watershed_crossover.py). Mask, threshold and seed
+        # selection stay exact; only the flood itself differs.
         self._programs = {}
         self._aff_host = {}  # pshape -> (3, n) scatter buffer (see _finalize)
 
@@ -426,6 +470,76 @@ class AffinityPipeline:
 
     def _slice_fn(self, k):
         return _cached_slice(k)
+
+    def _dispatch_gather(self, aff_pad, mask_pad):
+        """Dispatch the masked affinity gather (async D2H) for the host
+        flood; returns (pre_idx, m, capacity, idx_up, vals_dev)."""
+        pre_idx = np.flatnonzero(mask_pad.ravel()).astype(np.int32)
+        m = len(pre_idx)
+        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
+        capacity = min(capacity, mask_pad.size)
+        idx_up = np.zeros(capacity, np.int32)
+        idx_up[:m] = pre_idx
+        vals_dev = self._gather_fn(capacity)(aff_pad, jnp.asarray(idx_up))
+        try:
+            vals_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        return pre_idx, m, capacity, idx_up, vals_dev
+
+    def _flood_on_device(self, aff_pad, mask_pad, centroids, out=None,
+                         profile=None):
+        """The ``device_flood`` mode's flood half: upload the filtered
+        mask (packed bits) + seeds, run the approximate wavefront flood
+        (``ops/device_flood.wavefront_flood_jit``, claim mode) over the
+        device-resident padded affinities, download cropped wire-dtype
+        labels. Returns int32 labels of the cropped shape, or ``None``
+        when the flood did not converge (caller falls back to the exact
+        host heap flood)."""
+        import time as _time
+
+        from ..ops.device_flood import wavefront_flood_jit
+
+        def tick(name, t0):
+            if profile is not None:
+                profile[name] = profile.get(name, 0.0) + (
+                    _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        t0 = _time.perf_counter()
+        pshape = mask_pad.shape
+        n = len(centroids)
+        cap = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 6)
+        coords = np.zeros((cap, 3), np.int32)
+        labs = np.zeros(cap, np.int32)
+        coords[:n] = centroids
+        labs[:n] = np.arange(1, n + 1, dtype=np.int32)
+        bits = np.packbits(mask_pad.view(np.bool_).ravel())
+        mask_dev, seeds_dev = _cached_flood_prep(pshape, cap)(
+            jnp.asarray(bits), jnp.asarray(coords), jnp.asarray(labs)
+        )
+        t0 = tick("upload_mask_seeds", t0)
+        lab_dev, _it, conv = wavefront_flood_jit(
+            aff_pad, seeds_dev, mask_dev, mode="claim", max_iters=512
+        )
+        lab_wire = _cached_crop_cast(pshape, wide=n >= 2 ** 16)(lab_dev)
+        try:
+            lab_wire.copy_to_host_async()
+        except AttributeError:
+            pass
+        if not bool(conv):  # blocks on the flood; label D2H runs behind
+            return None
+        t0 = tick("device_flood", t0)
+        labels = np.asarray(lab_wire).astype(np.int32)
+        tick("download_labels", t0)
+        if out is not None:
+            output = out
+            output[:] = 0
+            view = output.reshape(pshape)[1:-1, 1:-1, 1:-1]
+            view[:] = labels
+            return view
+        return labels
 
     # ------------------------------------------------------------------
 
@@ -575,20 +689,13 @@ class AffinityPipeline:
         mask_pad = np.pad(mask_u8, 1)
         t0 = tick("download_mask_cands", t0)
 
-        # dispatch the affinity gather at the pre-filter mask and let the
-        # D2H copy run while the host does spacing + size filtering
-        pre_idx = np.flatnonzero(mask_pad.ravel()).astype(np.int32)
-        m = len(pre_idx)
-        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
-        capacity = min(capacity, mask_pad.size)
-        idx_up = np.zeros(capacity, np.int32)
-        idx_up[:m] = pre_idx
-        vals_dev = self._gather_fn(capacity)(aff_pad, jnp.asarray(idx_up))
-        try:
-            vals_dev.copy_to_host_async()
-        except AttributeError:
-            pass
-        t0 = tick("gather_dispatch", t0)
+        if not self.device_flood:
+            # dispatch the affinity gather at the pre-filter mask and let
+            # the D2H copy run while the host does spacing + size filtering
+            pre_idx, m, capacity, idx_up, vals_dev = self._dispatch_gather(
+                aff_pad, mask_pad
+            )
+            t0 = tick("gather_dispatch", t0)
 
         if overflow:
             # overflow fallback: exact host peak path
@@ -619,6 +726,22 @@ class AffinityPipeline:
                 min_area=10, max_area=10000000,
             )
         t0 = tick("host_mask_filter", t0)
+
+        if self.device_flood:
+            if len(centroids):
+                labels = self._flood_on_device(
+                    aff_pad, mask_pad, centroids, out=out, profile=profile
+                )
+                if labels is not None:
+                    return labels
+                # rare fallback: the wavefront flood did not converge
+                # within max_iters — run the exact host flood instead
+                # (gather dispatched only now; serial, nothing to hide it
+                # under)
+            pre_idx, m, capacity, idx_up, vals_dev = self._dispatch_gather(
+                aff_pad, mask_pad
+            )
+            t0 = tick("gather_dispatch", t0)
 
         vals = np.asarray(vals_dev)[:, :m]
         t0 = tick("gather_affinities", t0)

@@ -97,7 +97,8 @@ def dog_image(input_vol, sigma_min, sigma_max):
 
 
 def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
-                                   reference_layer, compute_dtype=None):
+                                   reference_layer, compute_dtype=None,
+                                   device_flood=None):
     """Resolve the U-Net source and allocate the scratch feature volume.
 
     Parity with ``affinity_watershed_prep_config`` (segmentation.py:80-135),
@@ -113,6 +114,13 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
     end. Labels then agree with the f32 path only statistically, so it is
     strictly opt-in (keyword or a ``"compute_dtype"`` key in the JSON
     config).
+
+    ``device_flood``: TPU-native extension — run the watershed flood
+    itself on device (approximate wavefront flood, ops/device_flood)
+    instead of the exact host heap. Mask/threshold/seed selection stay
+    exact; labels agree ~97-99.7% and the mode is measured faster only
+    on dense (>~15%) masks — see benchmarks/watershed_crossover.py.
+    Strictly opt-in (keyword or a ``"device_flood"`` JSON key).
     """
     unet = None
     affinities_extent = 1
@@ -125,6 +133,8 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
             affinities_extent = config.get("affinities_extent") or 1
             if compute_dtype is None:
                 compute_dtype = config.get("compute_dtype")
+            if device_flood is None:
+                device_flood = config.get("device_flood")
             if unet == "labels layer":
                 unet = reference_layer.metadata["unet"]
             if unet == "default":
@@ -149,7 +159,7 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
         (num_pred_channels,) + tuple(data.shape[-3:]), dtype=np.float32
     )
     return {"unet": model, "output_volume": output_volume,
-            "pipeline_cache": {}}
+            "pipeline_cache": {}, "device_flood": bool(device_flood)}
 
 
 def affinity_watershed_for_chunks(
@@ -161,6 +171,7 @@ def affinity_watershed_for_chunks(
     output_volume=None,
     pipeline_cache=None,
     use_device_pipeline=True,
+    device_flood=False,
     **kwargs,
 ):
     """Per-volume process: batched U-Net inference + affinity watershed
@@ -183,10 +194,11 @@ def affinity_watershed_for_chunks(
 
         if pipeline_cache is None:
             pipeline_cache = {}
-        key = (tuple(chunk_size), tuple(margin))
+        key = (tuple(chunk_size), tuple(margin), bool(device_flood))
         if key not in pipeline_cache:
             pipeline_cache[key] = AffinityPipeline(
-                unet, chunk_size=chunk_size, margin=margin
+                unet, chunk_size=chunk_size, margin=margin,
+                device_flood=bool(device_flood),
             )
         # the flood writes straight into the padded label buffer, exactly
         # like the generic path's out=current_output.ravel()
@@ -229,23 +241,28 @@ def affinity_unet_watershed(
     *,
     devices=None,
     compute_dtype=None,
+    device_flood=None,
 ):
     """Segment a 3D volume or 4D stack with the affinity U-Net watershed.
 
-    Identical signature to iterseg ``segmentation.py:24-73``, plus two
+    Identical signature to iterseg ``segmentation.py:24-73``, plus
     keyword-only TPU extensions: ``devices`` — a list of jax devices to
     round-robin 4D frames across (frame parallelism over the chip mesh;
-    labels identical to single-device execution) — and ``compute_dtype``
+    labels identical to single-device execution); ``compute_dtype``
     — e.g. "bfloat16" to keep the forward's weights/activations in bf16
     (measured ~7% faster device phase — the f32 path already uses
     bf16-operand MXU passes; labels agree with f32 statistically, not
-    bitwise).
+    bitwise); ``device_flood`` — run the watershed flood on device
+    (approximate wavefront flood; faster only on dense masks, see
+    benchmarks/watershed_crossover.py).
     """
     prep = affinity_watershed_prep_config
-    if compute_dtype is not None:
-        def prep(layer, unet_or_cfg, ref, _cd=compute_dtype):
+    if compute_dtype is not None or device_flood is not None:
+        def prep(layer, unet_or_cfg, ref, _cd=compute_dtype,
+                 _df=device_flood):
             return affinity_watershed_prep_config(
-                layer, unet_or_cfg, ref, compute_dtype=_cd
+                layer, unet_or_cfg, ref, compute_dtype=_cd,
+                device_flood=_df,
             )
     return segmentation_wrapper(
         affinity_watershed_for_chunks,

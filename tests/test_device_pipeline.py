@@ -247,3 +247,95 @@ class TestDoGPipeline:
         labels = dog_blob_watershed(None, vol, None, "dp", debug=True)
         assert labels.shape == vol.shape
         assert labels.max() > 5
+
+
+class TestDeviceFloodMode:
+    """Opt-in approximate on-device wavefront flood (``device_flood=True``).
+
+    Mask, threshold and seed selection are the exact host code either way;
+    only the flood differs (ops/device_flood — approximate by design, see
+    benchmarks/watershed_crossover.py for when it wins). These tests pin
+    the invariants that hold exactly and the agreement on smooth fixtures.
+    """
+
+    def _synthetic_outs(self, shape=(20, 48, 48), n=24, seed=0):
+        """Craft a ``_finalize`` input tuple without a model: smooth blob
+        affinities, mask from a threshold, seeds at blob peaks."""
+        import jax.numpy as jnp
+
+        r = np.random.default_rng(seed)
+        vol = np.zeros(shape, np.float32)
+        pts = np.stack([r.integers(3, s - 3, size=n) for s in shape], 1)
+        vol[tuple(pts.T)] = 1.0
+        vol = ndi.gaussian_filter(vol, (1.5, 3, 3))
+        vol /= vol.max()
+        aff = np.stack([1.0 - vol] * 3).astype(np.float32)
+        aff_pad = jnp.asarray(
+            np.pad(aff, ((0, 0), (1, 1), (1, 1), (1, 1)))
+        )
+        mask = vol > 0.08
+        mx = ndi.maximum_filter(vol, size=5)
+        peaks = np.argwhere((vol == mx) & mask)
+        order = np.zeros(512, np.int64)
+        flat = np.ravel_multi_index(tuple(peaks.T), shape)
+        order[: len(flat)] = flat
+        outs = (
+            aff_pad,
+            jnp.asarray(np.packbits(mask.ravel())),
+            jnp.asarray(order),
+            jnp.int32(len(flat)),
+            jnp.float32(0.08),
+            jnp.asarray(vol),
+        )
+        return shape, outs
+
+    def test_finalize_invariants_and_agreement(self):
+        zyx, outs = self._synthetic_outs()
+        host = AffinityPipeline(None, cand_capacity=512)
+        dev = AffinityPipeline(None, cand_capacity=512, device_flood=True)
+        prof = {}
+        labels_host = host._finalize(zyx, outs)
+        labels_dev = dev._finalize(zyx, outs, profile=prof)
+        assert labels_dev.shape == labels_host.shape == zyx
+        # identical mask/seed selection => identical label support and ids
+        np.testing.assert_array_equal(labels_dev > 0, labels_host > 0)
+        assert set(np.unique(labels_dev)) == set(np.unique(labels_host))
+        sel = labels_host > 0
+        agree = (labels_dev[sel] == labels_host[sel]).mean()
+        assert agree > 0.95, agree
+        # the device-flood phases were actually taken (not the host path)
+        assert "device_flood" in prof and "flood" not in prof
+
+    def test_finalize_deterministic(self):
+        zyx, outs = self._synthetic_outs(seed=3)
+        dev = AffinityPipeline(None, cand_capacity=512, device_flood=True)
+        a = dev._finalize(zyx, outs)
+        b = dev._finalize(zyx, outs)
+        np.testing.assert_array_equal(a, b)
+
+    def test_finalize_out_buffer(self):
+        zyx, outs = self._synthetic_outs(seed=5)
+        dev = AffinityPipeline(None, cand_capacity=512, device_flood=True)
+        pshape = tuple(s + 2 for s in zyx)
+        out = np.full(int(np.prod(pshape)), -1, np.int32)
+        labels = dev._finalize(zyx, outs, out=out)
+        np.testing.assert_array_equal(
+            labels, out.reshape(pshape)[1:-1, 1:-1, 1:-1]
+        )
+
+    def test_full_segment_support_equality(self, model):
+        """End-to-end through the real forward: the device-flood mode must
+        keep the exact mask/seed machinery (identical support, ids) while
+        the flood itself may differ within tolerance."""
+        vol = blob_volume(shape=(6, 64, 64), n=12, seed=9)
+        kw = dict(chunk_size=(6, 64, 64), margin=(1, 8, 8))
+        labels_host = AffinityPipeline(model, **kw).segment(vol)
+        labels_dev = AffinityPipeline(
+            model, device_flood=True, **kw
+        ).segment(vol)
+        np.testing.assert_array_equal(labels_dev > 0, labels_host > 0)
+        assert set(np.unique(labels_dev)) == set(np.unique(labels_host))
+        sel = labels_host > 0
+        if sel.any():
+            agree = (labels_dev[sel] == labels_host[sel]).mean()
+            assert agree > 0.8, agree

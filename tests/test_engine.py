@@ -99,6 +99,36 @@ class TestAffinityUNetWatershed:
         assert labels.shape == vol.shape
         assert labels.dtype == np.int32
 
+    def test_device_flood_keyword_and_json(self, tiny_unet, tmp_path):
+        """Opt-in on-device flood: keyword and JSON key plumb through to
+        the pipeline (approximate flood — only shape/dtype and the mask
+        support contract are asserted here; agreement is pinned in
+        tests/test_device_pipeline.py)."""
+        import json
+
+        vol, _ = blobby_volume(shape=(6, 64, 64))
+        ref = affinity_unet_watershed(
+            None, vol, save_dir=None, name="auw-df-ref",
+            unet_or_config_file=tiny_unet,
+            chunk_size=(6, 64, 64), margin=(1, 8, 8), debug=True,
+        )
+        labels = affinity_unet_watershed(
+            None, vol, save_dir=None, name="auw-df",
+            unet_or_config_file=tiny_unet,
+            chunk_size=(6, 64, 64), margin=(1, 8, 8), debug=True,
+            device_flood=True,
+        )
+        assert labels.shape == vol.shape and labels.dtype == np.int32
+        np.testing.assert_array_equal(labels > 0, ref > 0)
+        cfg = tmp_path / "auw_df.json"
+        cfg.write_text(json.dumps({"unet": tiny_unet, "device_flood": True}))
+        labels_cfg = affinity_unet_watershed(
+            None, vol, save_dir=None, name="auw-df-cfg",
+            unet_or_config_file=str(cfg),
+            chunk_size=(6, 64, 64), margin=(1, 8, 8), debug=True,
+        )
+        np.testing.assert_array_equal(labels_cfg, labels)
+
     def test_config_json(self, tiny_unet, tmp_path):
         import json
 
