@@ -35,6 +35,7 @@ __all__ = [
     "generate_IoU_data",
     "generate_ap_scores",
     "plot_accuracy_metrics",
+    "affinity_sum_graph",
     "THRESHOLDS",
 ]
 
@@ -395,3 +396,25 @@ def plot_accuracy_metrics(
         OD_path = os.path.join(save_dir, f"{prefix}_{name}_OD_plot.pdf")
         plot_count_difference(df0, "Object count difference", OD_path,
                               show=show)
+
+
+def affinity_sum_graph(img, affs=(1, 2, 3, 5, 10, 20, 40)):
+    """Experimental image-texture curve (parity: metrics.py:380-392).
+
+    For each order ``a`` in ``affs``, difference the image ``a`` times
+    along every axis and record the absolute normalised sum
+    ``|sum(diff)| / diff.size``, summed over axes — a cheap smoothness /
+    drift signature across scales. Upstream ships this experimental and
+    unused; kept for symbol parity.
+
+    Returns ``(list(affs), results)`` with one scalar per order.
+    """
+    img = np.asarray(img)
+    results = []
+    for a in affs:
+        total = 0.0
+        for ax in range(img.ndim):
+            d = np.diff(img, n=a, axis=ax)
+            total += np.abs(np.sum(d) / d.size)
+        results.append(total)
+    return list(affs), results

@@ -197,3 +197,34 @@ class TestPlots:
         out = comparison_plots(str(tmp_path), "compare-test", show=False)
         assert os.path.exists(out)
 
+
+
+class TestAffinitySumGraph:
+    def test_known_signals(self):
+        from iterseg_tpu.eval.metrics import affinity_sum_graph
+
+        # a linear ramp: 1st-order diff is constant 1 -> per-axis term 1
+        # along the ramp axis, 0 along the flat axis; 2nd order all-zero
+        img = np.tile(np.arange(8.0), (8, 1))
+        affs, res = affinity_sum_graph(img, affs=(1, 2))
+        assert affs == [1, 2]
+        np.testing.assert_allclose(res[0], 1.0)
+        np.testing.assert_allclose(res[1], 0.0)
+
+    def test_default_orders_and_types(self):
+        from iterseg_tpu.eval.metrics import affinity_sum_graph
+
+        r = np.random.default_rng(0)
+        # axes must exceed the largest order (40): np.diff past the axis
+        # size yields empty arrays and 0/0 (same upstream)
+        img = r.random((44, 44, 44)).astype(np.float32)
+        affs, res = affinity_sum_graph(img)
+        assert affs == [1, 2, 3, 5, 10, 20, 40]
+        assert len(res) == 7 and all(np.isfinite(res))
+        # matches a literal per-axis re-derivation
+        expect = sum(
+            abs(np.diff(img, n=3, axis=ax).sum()
+                / np.diff(img, n=3, axis=ax).size)
+            for ax in range(3)
+        )
+        np.testing.assert_allclose(res[2], expect, rtol=1e-12)
