@@ -853,9 +853,90 @@ class DoGPipeline:
     def _gather_fn(self, capacity):
         return _cached_gather("flat", capacity)
 
+    def _device_outputs(self, volume, device=None):
+        """Dispatch the DoG program (async, no host sync). ``device``
+        places the input (and hence the computation) on a specific chip
+        for frame parallelism."""
+        volume = np.ascontiguousarray(volume, dtype=np.float32)
+        zyx = volume.shape
+        key = (zyx, self.min_sigma, self.max_sigma, self.threshold,
+               self.sigma_ratio, self.cand_capacity)
+        if key not in _DOG_PROGRAM_CACHE:
+            _DOG_PROGRAM_CACHE[key] = self._build_program(zyx)
+        x = (jnp.asarray(volume) if device is None
+             else jax.device_put(volume, device))
+        outs = _DOG_PROGRAM_CACHE[key](x)
+        for a in (outs[0], outs[2]):  # mask_packed, n_cand
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        return outs
+
     def segment(self, volume, out=None, profile=None):
         """Labels of shape volume.shape + 2 (the padded frame, matching the
         reference's ``current_output`` contract for the DoG path)."""
+        import time as _time
+
+        volume = np.ascontiguousarray(volume, dtype=np.float32)
+        zyx = volume.shape
+        t0 = _time.perf_counter()
+        outs = self._device_outputs(volume)
+        jax.block_until_ready(outs[0])
+        if profile is not None:
+            profile["device_program"] = profile.get(
+                "device_program", 0.0
+            ) + (_time.perf_counter() - t0)
+        return self._finalize(zyx, outs, out=out, profile=profile)
+
+    def segment_stack(self, stack, output_labels, skip_labelled=True,
+                      profile=None, devices=None):
+        """Pipelined 4D (t, z, y, x) DoG segmentation — the DoG twin of
+        ``AffinityPipeline.segment_stack``: frame t+1's device program
+        (scale space, mask, candidates, EDT) is dispatched before frame
+        t's host half (blob pruning + flood) runs, and ``devices`` round-
+        robins frames across chips by input placement. Writes CROPPED
+        labels into ``output_labels[t]`` (the ``segment_single_volume``
+        contract) and yields t; warm-restart skips labelled frames."""
+        from ..core.volume import prepare_volume, restore_labels
+
+        todo = []
+        for t in range(stack.shape[0]):
+            if skip_labelled and np.any(np.asarray(output_labels[t])):
+                continue
+            todo.append(t)
+
+        lookahead = 1 if devices is None else len(devices)
+        pending = []
+
+        def dispatch(i, t):
+            raw = np.asarray(stack[t])
+            orig_shape = raw.shape
+            device = None if devices is None else devices[i % len(devices)]
+            vol, kept = prepare_volume(
+                raw.astype(np.float32), return_kept=True
+            )
+            outs = self._device_outputs(
+                np.ascontiguousarray(vol), device=device
+            )
+            return (t, vol.shape, outs, kept, orig_shape)
+
+        next_dispatch = 0
+        for i in range(len(todo)):
+            while (next_dispatch < len(todo)
+                   and next_dispatch <= i + lookahead):
+                pending.append(dispatch(next_dispatch, todo[next_dispatch]))
+                next_dispatch += 1
+            jt, zyx, outs, kept, orig_shape = pending.pop(0)
+            padded = self._finalize(zyx, outs, profile=profile)
+            labels = restore_labels(
+                padded[1:-1, 1:-1, 1:-1], kept, orig_shape
+            )
+            output_labels[jt] = labels
+            yield jt
+
+    def _finalize(self, zyx, outs, out=None, profile=None):
+        """Host half: blob pruning + seeded flood on the EDT landscape."""
         import time as _time
 
         from ..ops.blob import _prune_blobs
@@ -868,24 +949,8 @@ class DoGPipeline:
                 )
             return _time.perf_counter()
 
-        volume = np.ascontiguousarray(volume, dtype=np.float32)
-        zyx = volume.shape
-        key = (zyx, self.min_sigma, self.max_sigma, self.threshold,
-               self.sigma_ratio, self.cand_capacity)
-        if key not in _DOG_PROGRAM_CACHE:
-            _DOG_PROGRAM_CACHE[key] = self._build_program(zyx)
+        mask_packed, order, n_cand, dist_sq = outs
         t0 = _time.perf_counter()
-        mask_packed, order, n_cand, dist_sq = _DOG_PROGRAM_CACHE[key](
-            jnp.asarray(volume)
-        )
-        for a in (mask_packed, n_cand):
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
-        jax.block_until_ready(mask_packed)
-        t0 = tick("device_program", t0)
-
         pshape = tuple(s + 2 for s in zyx)
         nvox = int(np.prod(pshape))
         mask = np.unpackbits(np.asarray(mask_packed))[:nvox].view(

@@ -370,9 +370,13 @@ def dog_blob_watershed(
     chunk_size=(10, 256, 256),
     margin=(1, 64, 64),
     debug: bool = False,
+    *,
+    devices=None,
 ):
     """Classical DoG blob segmentation (no NN). Signature parity with
-    iterseg ``segmentation.py:548-589``."""
+    iterseg ``segmentation.py:548-589``, plus the keyword-only ``devices``
+    TPU extension: 4D frames round-robin across the given jax devices
+    (frame parallelism, labels identical to single-device)."""
     return segmentation_wrapper(
         dog_blob_watershed_for_chunks,
         dog_blob_watershed_prep_config,
@@ -385,6 +389,7 @@ def dog_blob_watershed(
         chunk_size,
         margin,
         debug,
+        devices=devices,
     )
 
 
@@ -593,11 +598,37 @@ def segmentation_loop(
         from .device_pipeline import AffinityPipeline
 
         cache = config["pipeline_cache"]
-        key = (tuple(chunk_size), tuple(margin))
+        df = bool(config.get("device_flood"))
+        key = (tuple(chunk_size), tuple(margin), df)
         if key not in cache:
             cache[key] = AffinityPipeline(config["unet"],
                                           chunk_size=chunk_size,
-                                          margin=margin)
+                                          margin=margin,
+                                          device_flood=df)
+        yield from cache[key].segment_stack(
+            data, output_labels, devices=config.get("devices")
+        )
+        return
+    if (
+        config.get("pipeline_cache") is not None
+        and "min_sigma" in config
+        and config.get("use_device_pipeline", True)
+    ):
+        # pipelined 4D DoG fast path: frame t+1's device program (scale
+        # space/mask/candidates/EDT) overlaps frame t's host blob pruning
+        # + flood; frames round-robin over ``devices`` (same labels as
+        # the per-frame path — same compiled program + host half)
+        from .device_pipeline import DoGPipeline
+
+        cache = config["pipeline_cache"]
+        key = ("dog", float(config["min_sigma"]),
+               float(config["max_sigma"]), float(config["threshold"]))
+        if key not in cache:
+            cache[key] = DoGPipeline(
+                min_sigma=config["min_sigma"],
+                max_sigma=config["max_sigma"],
+                threshold=config["threshold"],
+            )
         yield from cache[key].segment_stack(
             data, output_labels, devices=config.get("devices")
         )

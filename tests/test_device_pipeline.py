@@ -339,3 +339,64 @@ class TestDeviceFloodMode:
         if sel.any():
             agree = (labels_dev[sel] == labels_host[sel]).mean()
             assert agree > 0.8, agree
+
+
+class TestDoGStack:
+    """Pipelined 4D DoG path (DoGPipeline.segment_stack)."""
+
+    def test_stack_matches_per_frame_host_path(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+        from iterseg_tpu.engine.segmentation import (
+            dog_blob_watershed, dog_blob_watershed_for_chunks)
+
+        f0 = blob_volume(shape=(10, 48, 48), n=14, seed=31)
+        f1 = blob_volume(shape=(10, 48, 48), n=10, seed=32)
+        stack = np.stack([f0, f1])
+        # public 4D path (now pipelined)
+        out = dog_blob_watershed(None, stack, save_dir=None,
+                                 name="dog-stack", debug=True)
+        # per-frame generic host path (bit-exact oracle)
+        for t, frame in enumerate((f0, f1)):
+            ref = np.zeros(tuple(s + 2 for s in frame.shape), np.int32)
+            dog_blob_watershed_for_chunks(
+                frame, ref, None, None, 1, 1.5, 0.02,
+                use_device_pipeline=False,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out[t]), ref[1:-1, 1:-1, 1:-1]
+            )
+
+    def test_multi_device_frames_match_single(self):
+        import jax
+
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        devices = jax.devices()
+        if len(devices) < 2:
+            pytest.skip("needs multiple devices")
+        stack = np.stack([
+            blob_volume(shape=(10, 48, 48), n=12, seed=s)
+            for s in (41, 42, 43)
+        ])
+        pipe = DoGPipeline()
+        out_multi = np.zeros(stack.shape, np.int32)
+        ts = list(pipe.segment_stack(stack, out_multi,
+                                     devices=devices[:3]))
+        assert ts == [0, 1, 2]
+        out_single = np.zeros(stack.shape, np.int32)
+        list(pipe.segment_stack(stack, out_single, skip_labelled=False))
+        np.testing.assert_array_equal(out_multi, out_single)
+
+    def test_warm_restart_skips(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        stack = np.stack([
+            blob_volume(shape=(10, 48, 48), n=12, seed=s) for s in (51, 52)
+        ])
+        pipe = DoGPipeline()
+        out = np.zeros(stack.shape, np.int32)
+        list(pipe.segment_stack(stack, out))
+        before = out.copy()
+        ts = list(pipe.segment_stack(stack, out))
+        assert ts == []
+        np.testing.assert_array_equal(out, before)

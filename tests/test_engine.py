@@ -129,6 +129,28 @@ class TestAffinityUNetWatershed:
         )
         np.testing.assert_array_equal(labels_cfg, labels)
 
+    def test_device_flood_4d_stack(self, tiny_unet):
+        """The pipelined 4D path must honour device_flood (it builds its
+        own pipeline in segmentation_loop)."""
+        vol, _ = blobby_volume(shape=(6, 64, 64))
+        stack = np.stack([vol, vol])
+        ref = affinity_unet_watershed(
+            None, stack, save_dir=None, name="auw-df4-ref",
+            unet_or_config_file=tiny_unet,
+            chunk_size=(6, 64, 64), margin=(1, 8, 8), debug=True,
+        )
+        out = affinity_unet_watershed(
+            None, stack, save_dir=None, name="auw-df4",
+            unet_or_config_file=tiny_unet,
+            chunk_size=(6, 64, 64), margin=(1, 8, 8), debug=True,
+            device_flood=True,
+        )
+        for t in range(2):
+            a, b = np.asarray(out[t]), np.asarray(ref[t])
+            np.testing.assert_array_equal(a > 0, b > 0)
+        np.testing.assert_array_equal(np.asarray(out[0]),
+                                      np.asarray(out[1]))
+
     def test_config_json(self, tiny_unet, tmp_path):
         import json
 
