@@ -805,8 +805,14 @@ class DoGPipeline:
         )
         self._programs = {}
 
-    def _build_program(self, zyx):
-        """zyx: the unpadded frame shape; all outputs live on zyx+2."""
+    def _build_program(self, zyx, normalize=False):
+        """zyx: the unpadded frame shape; all outputs live on zyx+2.
+
+        ``normalize``: divide by the volume max on device — the device
+        twin of ``prepare_volume``'s host ``/ max`` (integer -> f32 is
+        exact, max is exact selection, the division is the same f32 op:
+        bit-identical), letting integer frames ship in their source dtype
+        (u16 halves the bytes of f32)."""
         thr = self.threshold
         smin, smax = self.min_sigma, self.max_sigma
         sigma_list = self.sigma_list
@@ -815,6 +821,8 @@ class DoGPipeline:
 
         def program(vol):
             vol = vol.astype(jnp.float32)
+            if normalize:
+                vol = vol / jnp.max(vol)
             vol_pad = jnp.pad(vol, 1)
             # threshold mask from the classic DoG image
             # (segmentation.py:635-637)
@@ -853,16 +861,25 @@ class DoGPipeline:
     def _gather_fn(self, capacity):
         return _cached_gather("flat", capacity)
 
-    def _device_outputs(self, volume, device=None):
+    def _device_outputs(self, volume, device=None, normalize=False):
         """Dispatch the DoG program (async, no host sync). ``device``
         places the input (and hence the computation) on a specific chip
-        for frame parallelism."""
-        volume = np.ascontiguousarray(volume, dtype=np.float32)
+        for frame parallelism; ``normalize`` runs ``/ max`` on device
+        (callers then skip host normalisation and may pass integer
+        volumes in their source dtype)."""
+        volume = np.asarray(volume)
+        if not (normalize and np.issubdtype(volume.dtype, np.integer)
+                and volume.dtype.itemsize <= 4):
+            volume = np.ascontiguousarray(volume, dtype=np.float32)
+        else:
+            volume = np.ascontiguousarray(volume)
         zyx = volume.shape
         key = (zyx, self.min_sigma, self.max_sigma, self.threshold,
-               self.sigma_ratio, self.cand_capacity)
+               self.sigma_ratio, self.cand_capacity, bool(normalize))
         if key not in _DOG_PROGRAM_CACHE:
-            _DOG_PROGRAM_CACHE[key] = self._build_program(zyx)
+            _DOG_PROGRAM_CACHE[key] = self._build_program(
+                zyx, normalize=normalize
+            )
         x = (jnp.asarray(volume) if device is None
              else jax.device_put(volume, device))
         outs = _DOG_PROGRAM_CACHE[key](x)
@@ -898,7 +915,8 @@ class DoGPipeline:
         robins frames across chips by input placement. Writes CROPPED
         labels into ``output_labels[t]`` (the ``segment_single_volume``
         contract) and yields t; warm-restart skips labelled frames."""
-        from ..core.volume import prepare_volume, restore_labels
+        from ..core.volume import (prepare_volume, remove_sum_zero_slices,
+                                   restore_labels)
 
         todo = []
         for t in range(stack.shape[0]):
@@ -913,12 +931,30 @@ class DoGPipeline:
             raw = np.asarray(stack[t])
             orig_shape = raw.shape
             device = None if devices is None else devices[i % len(devices)]
-            vol, kept = prepare_volume(
-                raw.astype(np.float32), return_kept=True
-            )
-            outs = self._device_outputs(
-                np.ascontiguousarray(vol), device=device
-            )
+            # integer frames ship in their source dtype and /max on device
+            # (bit-identical to prepare_volume, see _build_program);
+            # 64-bit ints are excluded: jax canonicalises them to 32 bits
+            # with wraparound on upload
+            if (np.issubdtype(raw.dtype, np.integer)
+                    and raw.dtype.itemsize <= 4):
+                vol, kept = raw, None
+                if vol.min() == 0:
+                    vol, kept = remove_sum_zero_slices(
+                        vol, return_kept=True
+                    )
+                    if vol.shape == orig_shape:
+                        kept = None
+                outs = self._device_outputs(
+                    np.ascontiguousarray(vol), device=device,
+                    normalize=True,
+                )
+            else:
+                vol, kept = prepare_volume(
+                    raw.astype(np.float32), return_kept=True
+                )
+                outs = self._device_outputs(
+                    np.ascontiguousarray(vol), device=device
+                )
             return (t, vol.shape, outs, kept, orig_shape)
 
         next_dispatch = 0

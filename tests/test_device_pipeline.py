@@ -400,3 +400,24 @@ class TestDoGStack:
         ts = list(pipe.segment_stack(stack, out))
         assert ts == []
         np.testing.assert_array_equal(out, before)
+
+    def test_integer_stack_matches_float_path(self):
+        """Integer DoG 4D stacks stay in their source dtype over the link
+        and /max on device — labels must equal the host-normalised f32
+        path (prepare_volume) exactly."""
+        from iterseg_tpu.core.volume import prepare_volume
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        vols_u16 = [
+            np.round(blob_volume(shape=(10, 48, 48), n=12, seed=s)
+                     * 65535.0).astype(np.uint16)
+            for s in (61, 62)
+        ]
+        stack = np.stack(vols_u16)
+        pipe = DoGPipeline()
+        out = np.zeros(stack.shape, np.int32)
+        ts = list(pipe.segment_stack(stack, out))
+        assert ts == [0, 1]
+        for t, vol in enumerate(vols_u16):
+            ref = pipe.segment(prepare_volume(vol.astype(np.float32)))
+            np.testing.assert_array_equal(out[t], ref[1:-1, 1:-1, 1:-1])
