@@ -213,13 +213,14 @@ def multihost_segment_zarr(
     are skipped, as in ``segmentation_loop``) and writes disjoint chunks.
     Returns the list of frames this host processed.
 
-    Pod x chips composition: for the affinity segmenter each host drives
-    ``AffinityPipeline.segment_stack`` over its frame shard, which
-    round-robins those frames across ``devices`` (pass
-    ``jax.local_devices()`` on a pod host; default = pipelined
-    single-device). Labels are bit-identical to the single-host,
-    single-device path (the pipeline shares its compiled programs with
-    the generic path; tested in ``tests/test_multihost.py``).
+    Pod x chips composition: each host drives its segmenter pipeline's
+    ``segment_stack`` (``AffinityPipeline`` for the affinity segmenter,
+    ``DoGPipeline`` for DoG) over its frame shard, which round-robins
+    those frames across ``devices`` (pass ``jax.local_devices()`` on a
+    pod host; default = pipelined single-device). Labels are
+    bit-identical to the single-host, single-device path (the pipelines
+    share their compiled programs with the generic paths; tested in
+    ``tests/test_multihost.py``).
     """
     from ..engine.segmentation import segment_single_volume, _as_layer
     from ..io.zarr_io import open_zarr
@@ -246,17 +247,24 @@ def multihost_segment_zarr(
     mine = host_frames(n_frames, host_id, n_hosts)
     done = []
     # intra-host multi-chip stack path (same gating as segmentation_loop's
-    # pipelined 4D branch: a 5-channel affinity U-Net config)
-    use_stack = (
-        config.get("pipeline_cache") is not None
-        and config.get("unet") is not None
-        and getattr(config.get("output_volume"), "shape", (0,))[0] == 5
-    )
-    if use_stack and mine:
-        from ..engine.device_pipeline import AffinityPipeline
+    # pipelined 4D branches: a 5-channel affinity U-Net config, or a DoG
+    # config)
+    pipe = None
+    if mine and config.get("pipeline_cache") is not None:
+        if (config.get("unet") is not None
+                and getattr(config.get("output_volume"),
+                            "shape", (0,))[0] == 5):
+            from ..engine.device_pipeline import AffinityPipeline
 
-        pipe = AffinityPipeline(config["unet"], chunk_size=chunk_size,
-                                margin=margin)
+            pipe = AffinityPipeline(config["unet"], chunk_size=chunk_size,
+                                    margin=margin)
+        elif "min_sigma" in config:
+            from ..engine.device_pipeline import DoGPipeline
+
+            pipe = DoGPipeline(min_sigma=config["min_sigma"],
+                               max_sigma=config["max_sigma"],
+                               threshold=config["threshold"])
+    if pipe is not None:
         sub_in = _FrameSubset(data, mine)
         sub_out = _FrameSubsetOut(out, mine)
         for t_local in pipe.segment_stack(sub_in, sub_out, devices=devices):
