@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-V5E_PEAK_BF16 = 197e12
+from bench import V5E_PEAK_BF16  # single source for the MFU peak basis
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "attribution.json")

@@ -41,10 +41,10 @@ def main():
         vol = blob_volume(size, n)
         # warmup (device gaussian compiles)
         dog_blob_watershed(None, vol, None, "warm", debug=True)
-        # median of several runs: the host tunnel's bandwidth swings ~2x
+        # median of >=5 runs: the host tunnel's bandwidth swings ~2x
         # run-to-run (CLAUDE.md), so a single sample is weather, not speed
         ts = []
-        for i in range(4):
+        for i in range(5):
             t0 = time.perf_counter()
             labels = dog_blob_watershed(None, vol, None, f"timed{i}",
                                         debug=True)
@@ -59,6 +59,28 @@ def main():
             "seconds": round(dt, 2),
             "runs": [round(t, 2) for t in ts],
         }))
+        if size == 256:
+            # production-shaped secondary: u16 source data (real
+            # microscopy dtype) through the 4D stack path, which ships
+            # the frame in its source dtype (half the upload bytes) and
+            # normalises on device
+            u16 = np.round(vol * 65535.0).astype(np.uint16)[None]
+            dog_blob_watershed(None, u16, None, "warm16", debug=True)
+            ts16 = []
+            for i in range(5):
+                t0 = time.perf_counter()
+                out = dog_blob_watershed(None, u16, None, f"t16{i}",
+                                         debug=True)
+                ts16.append(time.perf_counter() - t0)
+            dt16 = float(np.median(ts16))
+            print(json.dumps({
+                "metric": f"DoG-blob-watershed on {size}^3, u16 source",
+                "value": round(voxels / dt16, 1),
+                "unit": "voxels/sec",
+                "objects": int(np.asarray(out[0]).max()),
+                "seconds": round(dt16, 2),
+                "runs": [round(t, 2) for t in ts16],
+            }))
 
 
 if __name__ == "__main__":

@@ -112,7 +112,7 @@ def main():
     dt_streamed = (time.perf_counter() - t0) / STEPS
 
     mb_per_step = (x_np.nbytes + y_np.nbytes) / 2**20
-    print(json.dumps({
+    out = {
         "metric": "train step (10,256,256) crop, batch 1, double-Adam",
         "value": round(1.0 / dt_resident, 3),
         "unit": "steps/sec (device-resident)",
@@ -122,7 +122,27 @@ def main():
         "sec_streamed": round(dt_streamed, 3),
         "torch_cpu_sec_per_step": round(base, 3),
         "vs_baseline_streamed": round(base / dt_streamed, 2),
-    }))
+    }
+    # MFU of the fused step from XLA's own cost analysis (vs v5e bf16
+    # MXU peak — the f32 path runs bf16-operand single-pass matmuls
+    # under JAX's default precision, same basis as bench.py)
+    from bench import V5E_PEAK_BF16
+
+    try:
+        ca = train_step.lower(
+            trainable, bn_state, opt_state, x, y, 0
+        ).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops:
+            out["train_flops"] = flops
+            out["train_mfu_vs_bf16_peak"] = round(
+                flops / (dt_resident * V5E_PEAK_BF16), 4
+            )
+    except Exception as e:
+        out["cost_analysis_error"] = str(e)[:120]
+    print(json.dumps(out))
 
 
 def _reference_cpu_step(params, x_np, y_np):

@@ -120,6 +120,58 @@ def _cached_crop_cast(pshape, wide):
     return _GATHER_CACHE[key]
 
 
+def _prepare_frame(raw):
+    """Shared per-frame input contract of the 4D stack paths: returns
+    ``(vol, kept, device_normalize)``.
+
+    Integer frames (itemsize <= 4 only — jax canonicalises (u)int64 to
+    32 bits with WRAPAROUND on upload) keep their source dtype over the
+    link (u16 halves the bytes of f32) and are normalised on device —
+    bit-identical to ``prepare_volume``'s host ``/ max`` (int -> f32 is
+    exact, max is exact selection, same f32 division). Float frames take
+    the host ``prepare_volume`` path."""
+    from ..core.volume import prepare_volume, remove_sum_zero_slices
+
+    orig_shape = raw.shape
+    if np.issubdtype(raw.dtype, np.integer) and raw.dtype.itemsize <= 4:
+        vol, kept = raw, None
+        if vol.min() == 0:
+            vol, kept = remove_sum_zero_slices(vol, return_kept=True)
+            if vol.shape == orig_shape:
+                kept = None
+        return np.ascontiguousarray(vol), kept, True
+    vol, kept = prepare_volume(raw.astype(np.float32), return_kept=True)
+    return np.ascontiguousarray(vol), kept, False
+
+
+def _drive_stack(stack, output_labels, skip_labelled, devices,
+                 dispatch_one, finalize_one):
+    """Shared pipelined 4D drive: dispatch device programs ahead of the
+    in-order host finalisation (one frame of lookahead single-device;
+    ``len(devices)`` frames when round-robining chips), with warm-restart
+    skipping. ``dispatch_one(t, device)`` returns an opaque job;
+    ``finalize_one(job)`` returns the frame's labels."""
+    todo = []
+    for t in range(stack.shape[0]):
+        if skip_labelled and np.any(np.asarray(output_labels[t])):
+            continue
+        todo.append(t)
+
+    lookahead = 1 if devices is None else len(devices)
+    pending = []
+    next_dispatch = 0
+    for i in range(len(todo)):
+        while next_dispatch < len(todo) and next_dispatch <= i + lookahead:
+            t = todo[next_dispatch]
+            device = (None if devices is None
+                      else devices[next_dispatch % len(devices)])
+            pending.append((t, dispatch_one(t, device)))
+            next_dispatch += 1
+        jt, job = pending.pop(0)
+        output_labels[jt] = finalize_one(job)
+        yield jt
+
+
 def _valid_grid(zyx, chunk_size, margin):
     """Pad/clamp logic shared with predict_volume: z even, y/x %16 chunks."""
     mults = (2, 16, 16)
@@ -563,62 +615,23 @@ class AffinityPipeline:
         Frames that trigger zero-slice removal (shape change) fall back to
         the unpipelined exact path.
         """
-        from ..core.volume import (prepare_volume, remove_sum_zero_slices,
-                                   restore_labels)
+        from ..core.volume import restore_labels
 
-        n_frames = stack.shape[0]
-        todo = []
-        for t in range(n_frames):
-            if skip_labelled and np.any(np.asarray(output_labels[t])):
-                continue
-            todo.append(t)
-
-        lookahead = 1 if devices is None else len(devices)
-        pending = []  # (t, zyx, device_outputs, kept, orig_shape)
-
-        def dispatch(i, t):
+        def dispatch_one(t, device):
             raw = np.asarray(stack[t])
-            orig_shape = raw.shape
-            device = None if devices is None else devices[i % len(devices)]
-            # itemsize <= 4 only: jax canonicalises (u)int64 to 32 bits
-            # with WRAPAROUND on upload, which would corrupt values >= 2^31
-            # — 64-bit integer frames take the f32 host path instead
-            if (np.issubdtype(raw.dtype, np.integer)
-                    and raw.dtype.itemsize <= 4):
-                # keep the source dtype over the link (u16 halves the
-                # bytes of f32) and /max on device — bit-identical to
-                # prepare_volume's host normalisation (max is exact
-                # selection; int -> f32 conversion exact)
-                vol = raw
-                kept = None
-                if vol.min() == 0:
-                    vol, kept = remove_sum_zero_slices(
-                        vol, return_kept=True
-                    )
-                    if vol.shape == orig_shape:
-                        kept = None
-                outs = self._device_outputs(
-                    np.ascontiguousarray(vol), device=device,
-                    normalize=True,
-                )
-            else:
-                vol, kept = prepare_volume(
-                    raw.astype(np.float32), return_kept=True
-                )
-                outs = self._device_outputs(vol, device=device)  # async
-            return (t, vol.shape, outs, kept, orig_shape)
+            vol, kept, dev_norm = _prepare_frame(raw)
+            outs = self._device_outputs(  # async
+                vol, device=device, normalize=True if dev_norm else None,
+            )
+            return (vol.shape, outs, kept, raw.shape)
 
-        next_dispatch = 0
-        for i in range(len(todo)):
-            while next_dispatch < len(todo) and next_dispatch <= i + lookahead:
-                pending.append(dispatch(next_dispatch, todo[next_dispatch]))
-                next_dispatch += 1
-            job = pending.pop(0)
-            jt, zyx, outs, kept, orig_shape = job
+        def finalize_one(job):
+            zyx, outs, kept, orig_shape = job
             labels = self._finalize(zyx, outs, profile=profile)
-            labels = restore_labels(labels, kept, orig_shape)
-            output_labels[jt] = labels
-            yield jt
+            return restore_labels(labels, kept, orig_shape)
+
+        yield from _drive_stack(stack, output_labels, skip_labelled,
+                                devices, dispatch_one, finalize_one)
 
     def segment(self, volume, out=None, profile=None):
         """Instance labels for one prepared (normalised) zyx volume.
@@ -915,61 +928,25 @@ class DoGPipeline:
         robins frames across chips by input placement. Writes CROPPED
         labels into ``output_labels[t]`` (the ``segment_single_volume``
         contract) and yields t; warm-restart skips labelled frames."""
-        from ..core.volume import (prepare_volume, remove_sum_zero_slices,
-                                   restore_labels)
+        from ..core.volume import restore_labels
 
-        todo = []
-        for t in range(stack.shape[0]):
-            if skip_labelled and np.any(np.asarray(output_labels[t])):
-                continue
-            todo.append(t)
-
-        lookahead = 1 if devices is None else len(devices)
-        pending = []
-
-        def dispatch(i, t):
+        def dispatch_one(t, device):
             raw = np.asarray(stack[t])
-            orig_shape = raw.shape
-            device = None if devices is None else devices[i % len(devices)]
-            # integer frames ship in their source dtype and /max on device
-            # (bit-identical to prepare_volume, see _build_program);
-            # 64-bit ints are excluded: jax canonicalises them to 32 bits
-            # with wraparound on upload
-            if (np.issubdtype(raw.dtype, np.integer)
-                    and raw.dtype.itemsize <= 4):
-                vol, kept = raw, None
-                if vol.min() == 0:
-                    vol, kept = remove_sum_zero_slices(
-                        vol, return_kept=True
-                    )
-                    if vol.shape == orig_shape:
-                        kept = None
-                outs = self._device_outputs(
-                    np.ascontiguousarray(vol), device=device,
-                    normalize=True,
-                )
-            else:
-                vol, kept = prepare_volume(
-                    raw.astype(np.float32), return_kept=True
-                )
-                outs = self._device_outputs(
-                    np.ascontiguousarray(vol), device=device
-                )
-            return (t, vol.shape, outs, kept, orig_shape)
+            vol, kept, dev_norm = _prepare_frame(raw)
+            outs = self._device_outputs(  # async
+                vol, device=device, normalize=dev_norm,
+            )
+            return (vol.shape, outs, kept, raw.shape)
 
-        next_dispatch = 0
-        for i in range(len(todo)):
-            while (next_dispatch < len(todo)
-                   and next_dispatch <= i + lookahead):
-                pending.append(dispatch(next_dispatch, todo[next_dispatch]))
-                next_dispatch += 1
-            jt, zyx, outs, kept, orig_shape = pending.pop(0)
+        def finalize_one(job):
+            zyx, outs, kept, orig_shape = job
             padded = self._finalize(zyx, outs, profile=profile)
-            labels = restore_labels(
+            return restore_labels(
                 padded[1:-1, 1:-1, 1:-1], kept, orig_shape
             )
-            output_labels[jt] = labels
-            yield jt
+
+        yield from _drive_stack(stack, output_labels, skip_labelled,
+                                devices, dispatch_one, finalize_one)
 
     def _finalize(self, zyx, outs, out=None, profile=None):
         """Host half: blob pruning + seeded flood on the EDT landscape."""

@@ -565,7 +565,11 @@ class SegmentationWorker:
             raise TimeoutError("segmentation worker still running")
         if self._error is not None:
             raise self._error
-        return self._finish()
+        # finish() has side effects (adds the napari labels layer): run it
+        # once and cache, so repeated result() calls are idempotent
+        if not hasattr(self, "_result"):
+            self._result = self._finish()
+        return self._result
 
 
 def segmentation_loop(

@@ -245,7 +245,15 @@ def _get_translate(ome_meta):
 
 def _get_contrast(ome_meta):
     """Contrast limits/ranges from the omero channel windows
-    (reference semantics: iterseg ``_io.py:211-232``)."""
+    (reference semantics: iterseg ``_io.py:211-232``).
+
+    Deviation (fix, PARITY.md L0): the reference appends raw
+    ``ch.get('window', None)`` entries, so its all-or-none length guard
+    is dead code (the list length always equals the channel count) and
+    any channel without a window crashes with ``TypeError`` on
+    ``'start' in None``. Filtering the Nones first makes the guard live
+    (mixed metadata raises the intended ValueError) and the no-window
+    case graceful."""
     contrast_limits = None
     contrast_range = None
     channels = ome_meta.get("omero", {}).get("channels")

@@ -256,8 +256,10 @@ def multihost_segment_zarr(
                             "shape", (0,))[0] == 5):
             from ..engine.device_pipeline import AffinityPipeline
 
-            pipe = AffinityPipeline(config["unet"], chunk_size=chunk_size,
-                                    margin=margin)
+            pipe = AffinityPipeline(
+                config["unet"], chunk_size=chunk_size, margin=margin,
+                device_flood=bool(config.get("device_flood")),
+            )
         elif "min_sigma" in config:
             from ..engine.device_pipeline import DoGPipeline
 

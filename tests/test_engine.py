@@ -236,6 +236,9 @@ class TestThreadedWorker:
         labels = worker.result(timeout=300)
         assert worker.done
         np.testing.assert_array_equal(labels, golden)
+        # result() is idempotent: finish() (which would add a napari
+        # layer when a viewer is present) runs once and is cached
+        assert worker.result() is labels
 
     def test_threaded_propagates_errors(self):
         from iterseg_tpu.engine.segmentation import (
