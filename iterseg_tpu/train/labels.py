@@ -28,6 +28,7 @@ from ..ops.filters import gaussian as gaussian_jax
 
 __all__ = [
     "get_training_labels",
+    "is_binary_channel",
     "nth_affinity",
     "get_affinities",
     "get_centreness",
@@ -80,6 +81,21 @@ def get_training_labels(l, channels=("z-1", "y-1", "x-1", "centreness"),
             lab = smooth(lab)
         labels.append(lab)
     return np.stack(labels, axis=0)
+
+
+def is_binary_channel(chan):
+    """True for channels that are {0,1} by construction under this
+    grammar: nth-affinity channels (``z-1`` etc.) and ``mask*`` — unless
+    ``-smooth``ed, which makes any channel continuous. ``centreness*``,
+    ``centroid-gauss`` and ``offsets-*`` are continuous. Used by the
+    training loop to pick compact (u8) wire dtypes."""
+    if chan.endswith("-smooth"):
+        return False
+    if chan.startswith("mask"):
+        return True
+    return (chan[:1] in ("z", "y", "x")
+            and not chan.startswith("offsets-")
+            and re.search(r"\d+", chan) is not None)
 
 
 def _offset_channel(chan):

@@ -37,6 +37,7 @@ import pandas as pd
 from ..helpers import LINE, write_log
 from ..models.convert import save_checkpoint, load_checkpoint
 from ..models.unet import UNetSpec, forward
+from .labels import is_binary_channel as _is_binary_channel
 from .losses import make_loss_function, channel_losses
 from .train_io import load_tensor_from_zarr
 
@@ -218,13 +219,44 @@ def train_unet(
                       str(jax.devices()[0]), out_dir, log and save_output,
                       chan_losses, losses, channels, fork_channels)
 
+    # compact label uploads: channels that are {0,1} by construction
+    # (affinity offsets and non-smoothed masks, train/labels.py grammar)
+    # ship as u8 — 1/4 the bytes of f32 over the thin host link, which is
+    # the training bottleneck (benchmarks/train_bench.py budget) — and are
+    # cast back to f32 on device (u8 -> f32 is exact: losses bit-equal).
+    # The split is decided from the GRAMMAR, not the data, so input dtypes
+    # never flap and the train step never retraces; a cheap runtime {0,1}
+    # check still guards custom data, falling back to the f32 upload.
+    bin_idx = tuple(i for i, ch in enumerate(channels)
+                    if _is_binary_channel(ch))
+    cont_idx = tuple(i for i in range(len(channels)) if i not in bin_idx)
+    assemble = None
+    if bin_idx:
+        n_chan = len(channels)
+
+        @jax.jit
+        def assemble(b, f):
+            y = jnp.zeros((1, n_chan) + b.shape[2:], jnp.float32)
+            y = y.at[:, list(bin_idx)].set(b.astype(jnp.float32))
+            if cont_idx:
+                y = y.at[:, list(cont_idx)].set(f)
+            return y
+
     def _prep(img, tgt):
         xb = np.asarray(load_tensor_from_zarr(0, [img]), dtype=np.float32)
         yb = np.asarray(load_tensor_from_zarr(0, [tgt]), dtype=np.float32)
         # async uploads: the host→device copy of batch i+1 overlaps the
         # device compute of batch i (the thin host link is the training
         # bottleneck — see benchmarks/train_bench.py for the budget)
-        return jnp.asarray(xb[None, None]), jnp.asarray(yb[None])
+        xd = jnp.asarray(xb[None, None])
+        if assemble is not None:
+            yb_bin = yb[list(bin_idx)]
+            if ((yb_bin == 0) | (yb_bin == 1)).all():
+                b = jnp.asarray(yb_bin[None].astype(np.uint8))
+                f = (jnp.asarray(yb[list(cont_idx)][None]) if cont_idx
+                     else jnp.zeros((1, 0), jnp.float32))
+                return xd, assemble(b, f)
+        return xd, jnp.asarray(yb[None])
 
     v_y_hats = None
 

@@ -6,6 +6,7 @@ from scipy import ndimage as ndi
 
 from iterseg_tpu.train.labels import (
     get_training_labels,
+    is_binary_channel,
     nth_affinity,
     get_centreness,
     get_centre_offsets,
@@ -171,3 +172,29 @@ class TestGrammar:
     def test_centroid_gauss(self, labels_vol):
         out = get_training_labels(labels_vol, ("centroid-gauss",))
         assert out.min() >= 0 and out.max() == 1.0
+
+
+class TestBinaryChannelGrammar:
+    """is_binary_channel drives the training loop's compact u8 label
+    uploads; its verdicts must match what get_training_labels actually
+    produces for each grammar channel."""
+
+    def test_classification(self):
+        binary = ["z-1", "y-1", "x-1", "z-2", "x-3", "mask"]
+        continuous = [
+            "centreness", "centreness-log", "centroid-gauss",
+            "offsets-z", "offsets-y", "offsets-x",
+            "z-1-smooth", "mask-smooth", "centreness-smooth",
+        ]
+        for c in binary:
+            assert is_binary_channel(c), c
+        for c in continuous:
+            assert not is_binary_channel(c), c
+
+    def test_verdict_matches_produced_values(self, labels_vol):
+        for chan in ["z-1", "y-2", "x-1", "mask", "centreness",
+                     "centreness-log", "offsets-z", "z-1-smooth"]:
+            out = get_training_labels(labels_vol, (chan,))
+            vals = np.unique(out)
+            if is_binary_channel(chan):
+                assert set(vals.tolist()) <= {0.0, 1.0}, chan

@@ -226,6 +226,43 @@ class TestTrainUnet:
         out = model(np.zeros((1, 1, 4, 32, 32), np.float32))
         assert out.shape == (1, 5, 4, 32, 32)
 
+    def test_u8_label_upload_bit_equal(self, tiny_data, tmp_path,
+                                       monkeypatch):
+        """The compact u8 upload of {0,1} label channels must leave every
+        recorded loss bit-identical to the plain f32 upload path (u8→f32 is
+        exact, so the train step sees the same bits either way)."""
+        import pandas as pd
+        from iterseg_tpu.train.labels import is_binary_channel
+
+        xs, ys, chans = tiny_data
+        bin_idx = [i for i, c in enumerate(chans) if is_binary_channel(c)]
+        assert bin_idx == [0, 1, 2, 3]  # affinities + mask; centreness not
+        for yv in ys:  # fixture really is {0,1} on those channels
+            assert set(np.unique(yv[bin_idx]).tolist()) <= {0.0, 1.0}
+
+        def run(sub):
+            d = tmp_path / sub
+            d.mkdir()
+            train_mod.train_unet(
+                x=xs, vx=xs[:1], y=ys, vy=ys[:1], out_dir=str(d),
+                name="t", channels=chans, epochs=1, lr=0.01,
+                update_every=1,
+            )
+            ldf = pd.read_csv(d / "loss_t.csv")
+            vdf = pd.read_csv(d / "validation-loss_t.csv")
+            return ldf, vdf
+
+        fast_l, fast_v = run("fast")  # u8 path taken for bin_idx
+        monkeypatch.setattr(train_mod, "_is_binary_channel",
+                            lambda c: False)
+        slow_l, slow_v = run("slow")  # forced plain-f32 uploads
+        assert (fast_l["loss"].to_numpy()
+                == slow_l["loss"].to_numpy()).all()
+        for c in chans:
+            assert (fast_l[c].to_numpy() == slow_l[c].to_numpy()).all()
+        assert (fast_v["validation_loss"].to_numpy()
+                == slow_v["validation_loss"].to_numpy()).all()
+
     def test_run_experiment(self, tiny_data, tmp_path):
         from iterseg_tpu.train.experiments import (
             get_experiment_dict,
