@@ -13,7 +13,12 @@ device compute. The loop therefore measures two numbers:
   steps/sec (resident): inputs already on device — the pure device-step
       rate (what a pod-local data pipeline would sustain);
   steps/sec (streamed): fresh host arrays each step with double-buffered
-      async uploads (the train_unet loop's pattern) — link-bound here.
+      async uploads (the train_unet loop's pattern) — link-bound here;
+  steps/sec (streamed-compact): the train_unet compact upload — the
+      {0,1}-by-construction label channels (affinities + mask under the
+      default grammar) ship BIT-PACKED (np.packbits) and are unpacked
+      back to f32 on device (bit-identical losses; tests/test_train.py),
+      cutting those channels' wire bytes 32x.
 
 Prints one JSON line per configuration.
 """
@@ -64,7 +69,10 @@ def main():
 
     r = np.random.default_rng(0)
     x_np = r.random((1, 1) + CROP, np.float32)
+    # production channel mix ('z-1','y-1','x-1','mask','centreness-log'):
+    # four binary channels plus one continuous
     y_np = (r.random((1, C) + CROP) > 0.5).astype(np.float32)
+    y_np[:, C - 1] = r.random((1,) + CROP, np.float32)
 
     # measure the torch-CPU reference BEFORE training: the jitted step
     # donates the parameter buffers, deleting `params`
@@ -111,15 +119,55 @@ def main():
     float(np.asarray(loss))
     dt_streamed = (time.perf_counter() - t0) / STEPS
 
+    # streamed-compact rate: the train_unet._prep wire format — binary
+    # channels bit-packed, continuous as f32, unpacked + scattered
+    # together on device
+    bin_idx = list(range(C - 1))
+    cont_idx = [C - 1]
+    nvox = len(bin_idx) * int(np.prod(CROP))
+
+    @jax.jit
+    def assemble(pk, f):
+        b = jnp.unpackbits(pk, count=nvox).reshape(
+            (1, len(bin_idx)) + CROP)
+        yd = jnp.zeros((1, C) + CROP, jnp.float32)
+        yd = yd.at[:, bin_idx].set(b.astype(jnp.float32))
+        return yd.at[:, cont_idx].set(f)
+
+    cbatches = [
+        (np.ascontiguousarray(x_np + np.float32(i)),
+         np.packbits(y_np[:, bin_idx].astype(np.uint8)),
+         np.ascontiguousarray(y_np[:, cont_idx]))
+        for i in range(STEPS)
+    ]
+    xb = jnp.asarray(cbatches[0][0])
+    yb = assemble(jnp.asarray(cbatches[0][1]), jnp.asarray(cbatches[0][2]))
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        trainable, bn_state, opt_state, loss, chan = train_step(
+            trainable, bn_state, opt_state, xb, yb, 0
+        )
+        if i + 1 < STEPS:
+            xb = jnp.asarray(cbatches[i + 1][0])
+            yb = assemble(jnp.asarray(cbatches[i + 1][1]),
+                          jnp.asarray(cbatches[i + 1][2]))
+    float(np.asarray(loss))
+    dt_compact = (time.perf_counter() - t0) / STEPS
+
     mb_per_step = (x_np.nbytes + y_np.nbytes) / 2**20
+    mb_compact = (x_np.nbytes + cbatches[0][1].nbytes
+                  + cbatches[0][2].nbytes) / 2**20
     out = {
         "metric": "train step (10,256,256) crop, batch 1, double-Adam",
         "value": round(1.0 / dt_resident, 3),
         "unit": "steps/sec (device-resident)",
         "steps_per_sec_streamed": round(1.0 / dt_streamed, 3),
+        "steps_per_sec_streamed_compact": round(1.0 / dt_compact, 3),
         "upload_mb_per_step": round(mb_per_step, 1),
+        "upload_mb_per_step_compact": round(mb_compact, 1),
         "sec_resident": round(dt_resident, 3),
         "sec_streamed": round(dt_streamed, 3),
+        "sec_streamed_compact": round(dt_compact, 3),
         "torch_cpu_sec_per_step": round(base, 3),
         "vs_baseline_streamed": round(base / dt_streamed, 2),
     }

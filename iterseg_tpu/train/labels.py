@@ -88,7 +88,7 @@ def is_binary_channel(chan):
     grammar: nth-affinity channels (``z-1`` etc.) and ``mask*`` — unless
     ``-smooth``ed, which makes any channel continuous. ``centreness*``,
     ``centroid-gauss`` and ``offsets-*`` are continuous. Used by the
-    training loop to pick compact (u8) wire dtypes."""
+    training loop to pick compact (bit-packed) wire formats."""
     if chan.endswith("-smooth"):
         return False
     if chan.startswith("mask"):

@@ -221,26 +221,35 @@ def train_unet(
 
     # compact label uploads: channels that are {0,1} by construction
     # (affinity offsets and non-smoothed masks, train/labels.py grammar)
-    # ship as u8 — 1/4 the bytes of f32 over the thin host link, which is
-    # the training bottleneck (benchmarks/train_bench.py budget) — and are
-    # cast back to f32 on device (u8 -> f32 is exact: losses bit-equal).
-    # The split is decided from the GRAMMAR, not the data, so input dtypes
-    # never flap and the train step never retraces; a cheap runtime {0,1}
-    # check still guards custom data, falling back to the f32 upload.
+    # ship BIT-PACKED — 1/32 the bytes of f32 over the thin host link,
+    # which is the training bottleneck (benchmarks/train_bench.py budget)
+    # — and are unpacked back to f32 on device (bit -> f32 is exact:
+    # losses bit-equal, tests/test_train.py). The binary/continuous split
+    # is decided from the GRAMMAR, not the data, so input shapes never
+    # flap and the train step never retraces; a cheap runtime {0,1} check
+    # still guards custom data, falling back to the f32 upload.
     bin_idx = tuple(i for i, ch in enumerate(channels)
                     if _is_binary_channel(ch))
     cont_idx = tuple(i for i in range(len(channels)) if i not in bin_idx)
-    assemble = None
-    if bin_idx:
-        n_chan = len(channels)
+    n_chan = len(channels)
+    _assemble_cache = {}
 
-        @jax.jit
-        def assemble(b, f):
-            y = jnp.zeros((1, n_chan) + b.shape[2:], jnp.float32)
-            y = y.at[:, list(bin_idx)].set(b.astype(jnp.float32))
-            if cont_idx:
-                y = y.at[:, list(cont_idx)].set(f)
-            return y
+    def _get_assemble(spatial):
+        if spatial not in _assemble_cache:
+            nvox = len(bin_idx) * int(np.prod(spatial))
+
+            @jax.jit
+            def assemble(pk, f):
+                bits = jnp.unpackbits(pk, count=nvox)
+                b = bits.reshape((1, len(bin_idx)) + spatial)
+                y = jnp.zeros((1, n_chan) + spatial, jnp.float32)
+                y = y.at[:, list(bin_idx)].set(b.astype(jnp.float32))
+                if cont_idx:
+                    y = y.at[:, list(cont_idx)].set(f)
+                return y
+
+            _assemble_cache[spatial] = assemble
+        return _assemble_cache[spatial]
 
     def _prep(img, tgt):
         xb = np.asarray(load_tensor_from_zarr(0, [img]), dtype=np.float32)
@@ -249,13 +258,13 @@ def train_unet(
         # device compute of batch i (the thin host link is the training
         # bottleneck — see benchmarks/train_bench.py for the budget)
         xd = jnp.asarray(xb[None, None])
-        if assemble is not None:
+        if bin_idx:
             yb_bin = yb[list(bin_idx)]
             if ((yb_bin == 0) | (yb_bin == 1)).all():
-                b = jnp.asarray(yb_bin[None].astype(np.uint8))
+                pk = jnp.asarray(np.packbits(yb_bin.astype(np.uint8)))
                 f = (jnp.asarray(yb[list(cont_idx)][None]) if cont_idx
                      else jnp.zeros((1, 0), jnp.float32))
-                return xd, assemble(b, f)
+                return xd, _get_assemble(yb.shape[1:])(pk, f)
         return xd, jnp.asarray(yb[None])
 
     v_y_hats = None
