@@ -226,11 +226,12 @@ class TestTrainUnet:
         out = model(np.zeros((1, 1, 4, 32, 32), np.float32))
         assert out.shape == (1, 5, 4, 32, 32)
 
-    def test_u8_label_upload_bit_equal(self, tiny_data, tmp_path,
-                                       monkeypatch):
-        """The compact u8 upload of {0,1} label channels must leave every
-        recorded loss bit-identical to the plain f32 upload path (u8→f32 is
-        exact, so the train step sees the same bits either way)."""
+    def test_packed_label_upload_bit_equal(self, tiny_data, tmp_path,
+                                           monkeypatch):
+        """The compact bit-packed upload of {0,1} label channels must leave
+        every recorded loss bit-identical to the plain f32 upload path
+        (pack/unpack roundtrips exactly, and bit→f32 is exact, so the
+        train step sees the same bits either way)."""
         import pandas as pd
         from iterseg_tpu.train.labels import is_binary_channel
 
@@ -252,7 +253,7 @@ class TestTrainUnet:
             vdf = pd.read_csv(d / "validation-loss_t.csv")
             return ldf, vdf
 
-        fast_l, fast_v = run("fast")  # u8 path taken for bin_idx
+        fast_l, fast_v = run("fast")  # packed path taken for bin_idx
         monkeypatch.setattr(train_mod, "_is_binary_channel",
                             lambda c: False)
         slow_l, slow_v = run("slow")  # forced plain-f32 uploads
