@@ -80,7 +80,7 @@ def get_params():
     return init_params(UNetSpec(1, 5), seed=0)
 
 
-def run_tpu(volume, params, compute_dtype=None):
+def run_tpu(volume, params, compute_dtype=None, n_runs=7):
     import jax.numpy as jnp
 
     from iterseg_tpu.engine.predict import UNetModel
@@ -97,9 +97,11 @@ def run_tpu(volume, params, compute_dtype=None):
     pipe.segment(vol_u16)  # warmup: compile all programs
     times = []
     labels = None
-    # 5 runs + median: the host<->device tunnel bandwidth on this machine
-    # swings ~2x between runs, so a 3-run median is noisy
-    for _ in range(5):
+    # 7 runs + median: the host<->device tunnel bandwidth on this machine
+    # swings ~2x between runs (congested sessions throw 10x outliers), so
+    # a small-sample median is noisy; the JSON also carries the raw run
+    # times and the best run so a stormy session is readable
+    for _ in range(n_runs):
         profile = {}
         t0 = time.perf_counter()
         labels = pipe.segment(vol_u16, profile=profile)
@@ -110,7 +112,7 @@ def run_tpu(volume, params, compute_dtype=None):
         )
     dt = float(np.median(times))
     mask_fraction = float((np.asarray(labels) > 0).mean())
-    return dt, labels, mask_fraction
+    return dt, labels, mask_fraction, times
 
 
 def identity_check(params):
@@ -319,7 +321,7 @@ def main():
         os.makedirs(os.path.dirname(BASELINE_PATH), exist_ok=True)
         with open(BASELINE_PATH, "w") as f:
             json.dump(baseline, f, indent=2)
-    dt, labels, mask_fraction = run_tpu(volume, params)
+    dt, labels, mask_fraction, times = run_tpu(volume, params)
     voxels = int(np.prod(volume.shape))
     vps = voxels / dt
     vs = vps / baseline["voxels_per_sec"]
@@ -327,8 +329,9 @@ def main():
     # f32 statistically, so it cannot be the bit-matching headline)
     import jax.numpy as jnp
 
-    dt_bf16, labels_bf16, _ = run_tpu(volume, params,
-                                      compute_dtype=jnp.bfloat16)
+    dt_bf16, labels_bf16, _, _ = run_tpu(volume, params,
+                                         compute_dtype=jnp.bfloat16,
+                                         n_runs=3)
     vps_bf16 = voxels / dt_bf16
     agree = float((np.asarray(labels_bf16) == np.asarray(labels)).mean())
     identity = identity_check(params)
@@ -339,6 +342,14 @@ def main():
         "value": round(vps, 1),
         "unit": "voxels/sec",
         "vs_baseline": round(vs, 2),
+        # tunnel-weather transparency: this host's shared link throws 10x
+        # outlier runs in congested sessions; best run ~= the code's
+        # capability, run_seconds shows the session's weather
+        "best_voxels_per_sec": round(voxels / min(times), 1),
+        "best_vs_baseline": round(
+            voxels / min(times) / baseline["voxels_per_sec"], 2
+        ),
+        "run_seconds": [round(t, 2) for t in times],
         "bf16_voxels_per_sec": round(vps_bf16, 1),
         "bf16_vs_baseline": round(vps_bf16 / baseline["voxels_per_sec"], 2),
         "bf16_label_agreement": round(agree, 4),
