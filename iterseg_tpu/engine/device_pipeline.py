@@ -419,11 +419,19 @@ class AffinityPipeline:
         self.cand_capacity = cand_capacity
         self.normalize = normalize  # divide by max on device (device twin
         # of segment_single_volume's host normalisation; bit-identical f32)
-        self.device_flood = device_flood  # opt-in APPROXIMATE on-device
-        # wavefront flood instead of the exact host heap (ops/device_flood;
-        # ~97-99.7% label agreement, measured faster on dense >~15% masks —
-        # see benchmarks/watershed_crossover.py). Mask, threshold and seed
-        # selection stay exact; only the flood itself differs.
+        # opt-in APPROXIMATE on-device flood instead of the exact host
+        # heap; ~97-99.7% label agreement, mask/threshold/seed selection
+        # stay exact (see benchmarks/watershed_crossover.py). True picks
+        # the Pallas Gauss-Seidel kernel (ops/pallas_flood, ~3.5x the XLA
+        # Jacobi recurrence at equal agreement) on a real TPU and the XLA
+        # recurrence (ops/device_flood) elsewhere (Pallas off-TPU means
+        # the interpreter — a debugging tool, not a production path);
+        # "pallas"/"xla" force a kernel.
+        if device_flood is True:
+            device_flood = ("pallas" if jax.default_backend() == "tpu"
+                            else "xla")
+        assert device_flood in (False, "xla", "pallas"), device_flood
+        self.device_flood = device_flood
         self._programs = {}
         self._aff_host = {}  # pshape -> (3, n) scatter buffer (see _finalize)
 
@@ -543,14 +551,16 @@ class AffinityPipeline:
                          profile=None):
         """The ``device_flood`` mode's flood half: upload the filtered
         mask (packed bits) + seeds, run the approximate wavefront flood
-        (``ops/device_flood.wavefront_flood_jit``, claim mode) over the
-        device-resident padded affinities, download cropped wire-dtype
-        labels. Returns int32 labels of the cropped shape, or ``None``
-        when the flood did not converge (caller falls back to the exact
-        host heap flood)."""
+        over the device-resident padded affinities — the Pallas
+        Gauss-Seidel kernel (``ops/pallas_flood``) or the XLA Jacobi
+        recurrence (``ops/device_flood``) per ``self.device_flood`` —
+        then download cropped wire-dtype labels. Returns int32 labels of
+        the cropped shape, or ``None`` when the flood did not converge
+        (caller falls back to the exact host heap flood)."""
         import time as _time
 
         from ..ops.device_flood import wavefront_flood_jit
+        from ..ops.pallas_flood import pallas_flood_jit
 
         def tick(name, t0):
             if profile is not None:
@@ -572,9 +582,18 @@ class AffinityPipeline:
             jnp.asarray(bits), jnp.asarray(coords), jnp.asarray(labs)
         )
         t0 = tick("upload_mask_seeds", t0)
-        lab_dev, _it, conv = wavefront_flood_jit(
-            aff_pad, seeds_dev, mask_dev, mode="claim", max_iters=512
-        )
+        if self.device_flood == "pallas":
+            # inner_cap=1 is the fidelity-first setting: oracle agreement
+            # matches the XLA recurrence while sweeps stay ~3.5x faster
+            # (benchmarks/watershed_crossover.py)
+            lab_dev, _it, conv = pallas_flood_jit(
+                aff_pad, seeds_dev, mask_dev, max_sweeps=128, inner_cap=1,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            lab_dev, _it, conv = wavefront_flood_jit(
+                aff_pad, seeds_dev, mask_dev, mode="claim", max_iters=512
+            )
         lab_wire = _cached_crop_cast(pshape, wide=n >= 2 ** 16)(lab_dev)
         try:
             lab_wire.copy_to_host_async()

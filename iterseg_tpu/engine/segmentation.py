@@ -116,10 +116,14 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
     config).
 
     ``device_flood``: TPU-native extension — run the watershed flood
-    itself on device (approximate wavefront flood, ops/device_flood)
-    instead of the exact host heap. Mask/threshold/seed selection stay
-    exact; labels agree ~97-99.7% and the mode is measured faster only
-    on dense (>~15%) masks — see benchmarks/watershed_crossover.py.
+    itself on device (approximate wavefront flood) instead of the exact
+    host heap. ``True`` selects the Pallas Gauss-Seidel kernel
+    (ops/pallas_flood) on a real TPU — measured ~3.5x faster than the
+    XLA Jacobi recurrence at the same oracle agreement — and the XLA
+    recurrence (ops/device_flood) elsewhere; ``"pallas"``/``"xla"``
+    force a kernel. Mask/threshold/seed selection stay exact; labels
+    agree ~97-99.7% with the exact flood — see
+    benchmarks/watershed_crossover.py for the latency/bandwidth curve.
     Strictly opt-in (keyword or a ``"device_flood"`` JSON key).
     """
     unet = None
@@ -159,7 +163,7 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
         (num_pred_channels,) + tuple(data.shape[-3:]), dtype=np.float32
     )
     return {"unet": model, "output_volume": output_volume,
-            "pipeline_cache": {}, "device_flood": bool(device_flood)}
+            "pipeline_cache": {}, "device_flood": device_flood or False}
 
 
 def affinity_watershed_for_chunks(
@@ -194,11 +198,11 @@ def affinity_watershed_for_chunks(
 
         if pipeline_cache is None:
             pipeline_cache = {}
-        key = (tuple(chunk_size), tuple(margin), bool(device_flood))
+        key = (tuple(chunk_size), tuple(margin), device_flood or False)
         if key not in pipeline_cache:
             pipeline_cache[key] = AffinityPipeline(
                 unet, chunk_size=chunk_size, margin=margin,
-                device_flood=bool(device_flood),
+                device_flood=device_flood or False,
             )
         # the flood writes straight into the padded label buffer, exactly
         # like the generic path's out=current_output.ravel()

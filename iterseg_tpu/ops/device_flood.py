@@ -1,4 +1,8 @@
-"""On-device wavefront affinity flood — the Pallas/XLA watershed prototype.
+"""On-device wavefront affinity flood — the XLA (Jacobi) reference
+implementation; ``ops/pallas_flood.py`` is the production Pallas kernel
+running the same claim recurrence ~3.5x faster via VMEM-resident
+tile iterations and Gauss-Seidel sweeps (this module stays as the
+schedule-independent-ish baseline and the easier-to-read spec).
 
 The production affinity watershed is an exact sequential priority flood
 (reference ``watershed.py:95-159``: a min-heap of ``(value, age, index)``

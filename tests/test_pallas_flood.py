@@ -1,0 +1,158 @@
+"""Pallas Gauss-Seidel wavefront flood: invariants + pinned agreement.
+
+The kernel (``ops/pallas_flood``) runs the SAME claim-at-push update rule
+as the XLA recurrence (``ops/device_flood``) under a different schedule
+(tile-local VMEM iterations + sequential-grid Gauss-Seidel sweeps), so
+the exact invariants carry over while labels may differ at heap-tie-like
+races.  On the CPU test mesh the kernel runs in the Pallas interpreter —
+the real-TPU compiled path is exercised by benchmarks/watershed_crossover
+(and was verified bit-identical to the interpreter on the chip).
+
+Measured on the real chip (256³, benchmarks/watershed_crossover.py):
+~3.5x faster than the XLA recurrence at equal oracle agreement
+(0.070 s vs 0.249 s at 4.9% mask; 0.088 s vs 0.321 s at 22.1% mask; the
+exact host heap costs 0.42 s / 2.49 s there).
+"""
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from iterseg_tpu.ops.pallas_flood import pallas_wavefront_flood
+from iterseg_tpu.ops.device_flood import wavefront_affinity_flood
+from iterseg_tpu.ops.watershed_oracle import affinity_flood_py
+
+from test_device_flood import make_case, smooth_case
+
+
+class TestPallasFlood:
+    def test_invariants(self):
+        aff, coords, mask = make_case()
+        labels, n_sweeps, converged = pallas_wavefront_flood(
+            aff, coords, mask
+        )
+        assert converged
+        comp, _ = ndi.label(mask)
+        seeded_comps = set(comp[tuple(coords.T)]) - {0}
+        reachable = mask & np.isin(comp, sorted(seeded_comps))
+        assert ((labels > 0) == reachable).all()
+        assert labels.max() <= len(coords)
+        np.testing.assert_array_equal(
+            labels[tuple(coords.T)], np.arange(1, len(coords) + 1)
+        )
+
+    def test_single_seed_exact(self):
+        aff, coords, mask = make_case(n_seeds=1, seed=3)
+        oracle = affinity_flood_py(aff, coords, mask.copy())
+        got, _, converged = pallas_wavefront_flood(aff, coords, mask)
+        assert converged
+        np.testing.assert_array_equal(got, oracle)
+
+    def test_agreement_pinned_smooth(self):
+        """Realistic smooth fixtures: at the fidelity-first inner_cap=1
+        the Gauss-Seidel schedule tracks the oracle as well as the XLA
+        Jacobi recurrence (measured 0.942-0.983 on these fixtures; the
+        XLA variant measures 0.941-0.981)."""
+        scores = []
+        for s in range(3):
+            aff, coords, mask = smooth_case(seed=s)
+            oracle = affinity_flood_py(aff, coords, mask.copy())
+            got, _, converged = pallas_wavefront_flood(
+                aff, coords, mask, inner_cap=1, max_sweeps=256
+            )
+            assert converged
+            m = mask & (oracle > 0)
+            scores.append((got[m] == oracle[m]).mean())
+        assert np.mean(scores) > 0.94, scores
+
+    def test_inner_cap_speed_fidelity_knob(self):
+        """Raising inner_cap trades a little agreement for fewer sweeps
+        (the convergence knob the production call exposes)."""
+        aff, coords, mask = smooth_case(seed=1)
+        _, sweeps_1, conv_1 = pallas_wavefront_flood(
+            aff, coords, mask, inner_cap=1, max_sweeps=256
+        )
+        _, sweeps_64, conv_64 = pallas_wavefront_flood(
+            aff, coords, mask, inner_cap=64, max_sweeps=256
+        )
+        assert conv_1 and conv_64
+        assert sweeps_64 <= sweeps_1
+
+    def test_deterministic(self):
+        aff, coords, mask = make_case(seed=7)
+        a, _, _ = pallas_wavefront_flood(aff, coords, mask)
+        b, _, _ = pallas_wavefront_flood(aff, coords, mask)
+        np.testing.assert_array_equal(a, b)
+
+    def test_empty_seed_list(self):
+        aff, coords, mask = make_case(seed=2)
+        got, _, converged = pallas_wavefront_flood(aff, coords[:0], mask)
+        assert converged
+        assert (got == 0).all()
+
+    def test_matches_xla_fixed_point_class(self):
+        """Both floods satisfy the same fixed-point condition; their
+        labelings agree on the bulk of voxels (schedule differences only
+        show at contested ties)."""
+        aff, coords, mask = smooth_case(seed=0)
+        pal, _, _ = pallas_wavefront_flood(aff, coords, mask)
+        xla, _, _ = wavefront_affinity_flood(aff, coords, mask,
+                                             mode="claim")
+        m = mask & (xla > 0)
+        np.testing.assert_array_equal(pal > 0, xla > 0)
+        assert (pal[m] == xla[m]).mean() > 0.9
+
+
+class TestPipelinePallasFlood:
+    """device_flood="pallas" through AffinityPipeline._finalize (the
+    production integration), interpreter-backed on the CPU mesh."""
+
+    def test_finalize_support_and_agreement(self):
+        import jax.numpy as jnp
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        shape, n, seed = (16, 40, 40), 16, 0
+        r = np.random.default_rng(seed)
+        vol = np.zeros(shape, np.float32)
+        pts = np.stack([r.integers(3, s - 3, size=n) for s in shape], 1)
+        vol[tuple(pts.T)] = 1.0
+        vol = ndi.gaussian_filter(vol, (1.5, 3, 3))
+        vol /= vol.max()
+        aff = np.stack([1.0 - vol] * 3).astype(np.float32)
+        aff_pad = jnp.asarray(np.pad(aff, ((0, 0),) + ((1, 1),) * 3))
+        mask = vol > 0.08
+        peaks = np.argwhere(
+            (vol == ndi.maximum_filter(vol, size=5)) & mask
+        )
+        order = np.zeros(256, np.int64)
+        flat = np.ravel_multi_index(tuple(peaks.T), shape)
+        order[: len(flat)] = flat
+        outs = (aff_pad, jnp.asarray(np.packbits(mask.ravel())),
+                jnp.asarray(order), jnp.int32(len(flat)),
+                jnp.float32(0.08), jnp.asarray(vol))
+
+        host = AffinityPipeline(None, cand_capacity=256)
+        dev = AffinityPipeline(None, cand_capacity=256,
+                               device_flood="pallas")
+        assert dev.device_flood == "pallas"
+        prof = {}
+        labels_host = host._finalize(shape, outs)
+        labels_dev = dev._finalize(shape, outs, profile=prof)
+        np.testing.assert_array_equal(labels_dev > 0, labels_host > 0)
+        assert set(np.unique(labels_dev)) == set(np.unique(labels_host))
+        sel = labels_host > 0
+        assert (labels_dev[sel] == labels_host[sel]).mean() > 0.9
+        assert "device_flood" in prof and "flood" not in prof
+
+    def test_true_normalises_to_backend_default(self):
+        import jax
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        pipe = AffinityPipeline(None, device_flood=True)
+        expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+        assert pipe.device_flood == expected
+
+    def test_rejects_unknown_kernel(self):
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        with pytest.raises(AssertionError):
+            AffinityPipeline(None, device_flood="cuda")
