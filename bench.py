@@ -177,11 +177,17 @@ V5E_PEAK_BF16 = 197e12  # MXU peak; the f32 path also runs bf16-operand
 # single-pass matmuls (JAX default precision), so the same basis applies
 
 
-def attribute_device(params, vol_u16, compute_dtype=None):
+def attribute_device(params, vol_u16, compute_dtype=None, n_runs=5,
+                     return_runs=False):
     """Split the device phase: pure compute (slabs pre-uploaded) vs the
     production path (H2D pipelined under the forward), fenced by consuming
     the 4-byte ``n_cand`` scalar (the tunnel's block_until_ready lies —
     CLAUDE.md). Returns compute seconds + MFU from XLA's own flops count.
+
+    The ONE attribution harness: ``benchmarks/attribute.py`` (the full
+    per-dtype study) calls this same function, so fencing/MFU fixes land
+    in one place. ``return_runs`` adds the raw per-run times and total
+    flops for that study's JSON.
     """
     import jax
     import jax.numpy as jnp
@@ -213,14 +219,17 @@ def attribute_device(params, vol_u16, compute_dtype=None):
         return int(n_cand)
 
     run_device(True)
+    run_device(False)
     times = {}
+    runs = {}
     for name, use in (("compute_only", True), ("with_upload", False)):
         ts = []
-        for _ in range(5):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             run_device(use)
             ts.append(time.perf_counter() - t0)
         times[name] = float(np.median(ts))
+        runs[name] = [round(t, 3) for t in ts]
 
     starts, _ = make_chunks(zyx, CHUNK, MARGIN)
     B = _pick_batch_size(len(starts), CHUNK, model.out_channels)
@@ -249,7 +258,7 @@ def attribute_device(params, vol_u16, compute_dtype=None):
         sys.stderr.write(f"cost_analysis unavailable: {e}\n")
     mfu = (flops / (times["compute_only"] * V5E_PEAK_BF16)
            if flops and times["compute_only"] else 0.0)
-    return {
+    out = {
         "device_compute_sec": round(times["compute_only"], 3),
         "device_with_upload_sec": round(times["with_upload"], 3),
         "exposed_h2d_sec": round(
@@ -258,6 +267,10 @@ def attribute_device(params, vol_u16, compute_dtype=None):
         "fwd_tflops": round(flops / 1e12, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
     }
+    if return_runs:
+        out["runs"] = runs
+        out["flops"] = flops
+    return out
 
 
 def measure_baseline(volume, params):
@@ -331,7 +344,7 @@ def main():
 
     dt_bf16, labels_bf16, _, _ = run_tpu(volume, params,
                                          compute_dtype=jnp.bfloat16,
-                                         n_runs=3)
+                                         n_runs=5)
     vps_bf16 = voxels / dt_bf16
     agree = float((np.asarray(labels_bf16) == np.asarray(labels)).mean())
     identity = identity_check(params)

@@ -81,83 +81,26 @@ def main():
     results["upload_MB"] = vol_u16.nbytes / 1e6
     results["upload_MBps"] = vol_u16.nbytes / 1e6 / median(ts)
 
+    # per-dtype attribution via THE shared harness (bench.attribute_device
+    # — slab pre-upload, n_cand scalar fence, cost_analysis MFU); this
+    # file only adds the per-run lists, the raw-upload number above and
+    # the trace attempt below
+    from bench import attribute_device
+
     for dtype_name in ("float32", "bfloat16"):
-        model = UNetModel(params, compute_dtype=jnp.dtype(dtype_name))
-        pipe = AffinityPipeline(model, chunk_size=CHUNK, margin=MARGIN,
-                                normalize=True)
-        log(f"[{dtype_name}] warm segment (compiles)...")
-        pipe.segment(vol_u16)  # warm/compile everything
-        log(f"[{dtype_name}] warm done")
-        program = get_feature_program(model, zyx, CHUNK, MARGIN,
-                                      normalize=True)
-        slabs = program.upload_slabs(vol_u16)
-        for s in slabs:
-            fence(s[:1, :1, :4])
-        cand = pipe._cand_program(zyx)
-
-        def run_device(use_slabs):
-            out = program(vol_u16, _slabs=slabs if use_slabs else None)
-            aff, cent, otsu = _prep_feature_maps(out[:3], out[4], out[3])
-            _, _, n_cand = cand(cent, out[3], otsu)
-            return int(n_cand)  # 4-byte readback: the true fence
-
-        run_device(True)
-        run_device(False)
-        for name, use in (("compute_only", True), ("with_upload", False)):
-            log(f"[{dtype_name}] timing {name}...")
-            ts = []
-            for _ in range(7):
-                t0 = time.perf_counter()
-                run_device(use)
-                ts.append(time.perf_counter() - t0)
-            results[f"{dtype_name}_{name}_sec"] = median(ts)
-            results[f"{dtype_name}_{name}_runs"] = [round(t, 3) for t in ts]
-
-        # FLOPs of the compiled forward executables, weighted by calls
-        from iterseg_tpu.models import unet as unet_mod
-
-        spec = model.spec
-        if dtype_name != "float32":
-            fwd_params = {k: (v.astype(jnp.bfloat16)
-                              if v.dtype == jnp.float32 else v)
-                          for k, v in params.items()}
-        else:
-            fwd_params = params
-        slab_shapes = {}
-        for s in slabs:
-            slab_shapes[tuple(s.shape)] = slab_shapes.get(tuple(s.shape),
-                                                          0) + 1
-        # per-microbatch forward flops via XLA cost analysis on the same
-        # computation shape (batch B over the chunk)
-        from iterseg_tpu.engine.predict import _pick_batch_size
-        from iterseg_tpu.core.chunks import make_chunks
-
-        starts, _ = make_chunks(zyx, CHUNK, MARGIN)
-        B = _pick_batch_size(len(starts), CHUNK, model.out_channels)
-        nb = -(-len(starts) // B)
-
-        @jax.jit
-        def fwd(p, x):
-            return unet_mod.forward(p, spec, x, train=False)
-
-        x0 = jnp.zeros((B, 1) + CHUNK, jnp.dtype(dtype_name))
-        try:
-            ca = fwd.lower(
-                {k: jnp.asarray(v) for k, v in fwd_params.items()}, x0
-            ).compile().cost_analysis()
-            if isinstance(ca, list):
-                ca = ca[0]
-            flops_per_batch = float(ca.get("flops", 0.0))
-        except Exception as e:  # cost analysis unsupported on this backend
-            results["cost_analysis_error"] = str(e)[:200]
-            flops_per_batch = 0.0
-        total_flops = flops_per_batch * nb
-        results[f"{dtype_name}_flops"] = total_flops
-        t_c = results[f"{dtype_name}_compute_only_sec"]
-        if total_flops and t_c:
-            results[f"{dtype_name}_mfu_vs_bf16_peak"] = round(
-                total_flops / (t_c * V5E_PEAK_BF16), 4
-            )
+        log(f"[{dtype_name}] attributing (warm compile + 7-run medians)...")
+        att = attribute_device(params, vol_u16,
+                               compute_dtype=jnp.dtype(dtype_name),
+                               n_runs=7, return_runs=True)
+        results[f"{dtype_name}_compute_only_sec"] = att["device_compute_sec"]
+        results[f"{dtype_name}_compute_only_runs"] = att["runs"][
+            "compute_only"]
+        results[f"{dtype_name}_with_upload_sec"] = att[
+            "device_with_upload_sec"]
+        results[f"{dtype_name}_with_upload_runs"] = att["runs"][
+            "with_upload"]
+        results[f"{dtype_name}_flops"] = att["flops"]
+        results[f"{dtype_name}_mfu_vs_bf16_peak"] = att["mfu_vs_bf16_peak"]
 
     # profiler trace attempt (device-side ground truth, if the tunnel
     # backend supports it)

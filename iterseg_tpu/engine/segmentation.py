@@ -606,7 +606,9 @@ def segmentation_loop(
         from .device_pipeline import AffinityPipeline
 
         cache = config["pipeline_cache"]
-        df = bool(config.get("device_flood"))
+        # preserve "xla"/"pallas" kernel forcing — bool() would silently
+        # replace a forced kernel with the backend default
+        df = config.get("device_flood") or False
         key = (tuple(chunk_size), tuple(margin), df)
         if key not in cache:
             cache[key] = AffinityPipeline(config["unet"],

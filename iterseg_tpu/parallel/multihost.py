@@ -258,7 +258,8 @@ def multihost_segment_zarr(
 
             pipe = AffinityPipeline(
                 config["unet"], chunk_size=chunk_size, margin=margin,
-                device_flood=bool(config.get("device_flood")),
+                # or-False (not bool()): preserve "xla"/"pallas" forcing
+                device_flood=config.get("device_flood") or False,
             )
         elif "min_sigma" in config:
             from ..engine.device_pipeline import DoGPipeline

@@ -151,6 +151,32 @@ class TestAffinityUNetWatershed:
         np.testing.assert_array_equal(np.asarray(out[0]),
                                       np.asarray(out[1]))
 
+    def test_device_flood_string_survives_4d_path(self, tiny_unet):
+        """Forced kernel strings ("xla"/"pallas") must reach the 4D
+        path's pipeline untouched — a bool() coercion here once replaced
+        a forced kernel with the backend default (review finding)."""
+        from iterseg_tpu.engine.segmentation import (
+            affinity_watershed_for_chunks, affinity_watershed_prep_config,
+            segmentation_loop)
+
+        vol, _ = blobby_volume(shape=(6, 64, 64))
+        stack = np.stack([vol, vol])
+
+        class _Layer:
+            data = stack
+
+        config = affinity_watershed_prep_config(
+            _Layer, tiny_unet, None, device_flood="xla"
+        )
+        assert config["device_flood"] == "xla"
+        out = np.zeros_like(stack, dtype=np.int32)
+        list(segmentation_loop(None, stack, (6, 64, 64), (1, 8, 8), out,
+                               affinity_watershed_for_chunks, config))
+        (key,) = config["pipeline_cache"].keys()
+        assert key[-1] == "xla", key
+        assert config["pipeline_cache"][key].device_flood == "xla"
+        assert np.asarray(out).any()
+
     def test_config_json(self, tiny_unet, tmp_path):
         import json
 
