@@ -32,7 +32,7 @@ import numpy as np
 from ..core.volume import prepare_volume, restore_labels
 from ..io.zarr_io import save_labels_to_ome
 from ..ops import watershed as ws
-from ..ops.blob import blob_dog
+from ..ops.blob import blob_dog, blob_log
 from ..ops.edt import edt_np
 from ..ops.filters import gaussian, dog_image as _dog_image_jax
 from ..ops.cc import label_np
@@ -448,13 +448,108 @@ def otsu_mask(napari_viewer, input_volume_layer, save_dir=None,
     )
 
 
-def blob_watershed(*args, **kwargs):
-    """LoG blob watershed — disabled in the reference registry with a broken
-    config fn (segmentation.py:516-540); not reimplemented. Use
-    DoG-blob-watershed."""
-    raise NotImplementedError(
-        "LoG-blob-watershed is disabled (as in the reference registry); "
-        "use DoG-blob-watershed"
+def blob_watershed_prep_config(
+    input_volume_layer,
+    unet_or_config_file,
+    reference_layer,
+    min_sigma=1,
+    max_sigma=30,
+    num_sigma=10,
+    threshold=0.1,
+    gaus_sigma=2,
+):
+    """Working version of the reference's broken
+    ``blob_watershed_prep_config`` (segmentation.py:520-540: it reads an
+    undefined ``min_sigma`` and its signature cannot be reached from the
+    wrapper). Defaults are the reference's; a JSON config may override any
+    parameter, as in the fixed DoG prep."""
+    if unet_or_config_file is not None:
+        config = read_config_json(str(unet_or_config_file))
+        min_sigma = config.get("min_sigma") or min_sigma
+        max_sigma = config.get("max_sigma") or max_sigma
+        num_sigma = config.get("num_sigma") or num_sigma
+        threshold = config.get("threshold") or threshold
+        gaus_sigma = config.get("gaus_sigma") or gaus_sigma
+    return {
+        "min_sigma": min_sigma,
+        "max_sigma": max_sigma,
+        "num_sigma": num_sigma,
+        "threshold": threshold,
+        "gaus_sigma": gaus_sigma,
+    }
+
+
+def blob_watershed_for_chunks(
+    input_volume,
+    current_output,
+    chunk_size,
+    margin,
+    min_sigma,
+    max_sigma,
+    num_sigma,
+    threshold,
+    gaus_sigma,
+    **kwargs,
+):
+    """LoG blob segmentation (functional equivalent of the reference's
+    disabled ``blob_watershed_for_chunks``, segmentation.py:456-514, with
+    its two bugs fixed: ``blob_log``'s (n, 4) coordinate array was passed
+    directly to ``watershed`` as markers — here the blob coordinates become
+    labelled point seeds, as the working DoG path does — and the config fn
+    is reachable). Chunk grid intentionally ignored, as in the reference.
+
+    LoG scale space → seeds; EDT of the image as the watershed landscape;
+    mask = ``img > otsu(gaussian(img, gaus_sigma))`` (ws semantics,
+    reference watershed.py:226-229)."""
+    markers_blobs = blob_log(
+        input_volume, min_sigma=min_sigma, max_sigma=max_sigma,
+        num_sigma=int(num_sigma), threshold=threshold,
+    )
+    from ..ops.threshold import threshold_otsu_np
+
+    smoothed = np.asarray(gaussian(input_volume, float(gaus_sigma)))
+    mask = input_volume > threshold_otsu_np(smoothed)
+    distance = edt_np(input_volume)
+    centroids = np.zeros(distance.shape, dtype=bool)
+    if len(markers_blobs):
+        idx = tuple(markers_blobs[:, :input_volume.ndim].T.astype(int))
+        centroids[idx] = True
+    markers, _ = label_np(centroids)
+    labels = ws.image_watershed(-distance, markers, mask)
+    # the wrapper hands a by-1-padded output scratch (segment_single_volume);
+    # the reference's `current_output[:, ...] = labels` writeback is one of
+    # its latent bugs — write the interior, as the working segmenters do
+    current_output[1:-1, 1:-1, 1:-1] = labels
+
+
+def blob_watershed(
+    napari_viewer,
+    input_volume_layer,
+    save_dir: Union[str, None] = None,
+    name: str = "labels-prediction",
+    config_file: Union[str, None] = None,
+    layer_reference=None,
+    chunk_size=(10, 256, 256),
+    margin=(1, 64, 64),
+    debug: bool = False,
+):
+    """LoG blob watershed. The reference ships this segmenter disabled with
+    a broken config fn (segmentation.py:412-540 + registry comment at
+    :924-930); this is the working equivalent, kept OUT of the
+    ``segmenters`` registry for registry parity but callable directly,
+    like ``unet_mask`` and ``otsu_mask`` above."""
+    return segmentation_wrapper(
+        blob_watershed_for_chunks,
+        blob_watershed_prep_config,
+        napari_viewer,
+        input_volume_layer,
+        save_dir,
+        name,
+        config_file,
+        layer_reference,
+        chunk_size,
+        margin,
+        debug,
     )
 
 

@@ -22,10 +22,10 @@ from __future__ import annotations
 import numpy as np
 from scipy import spatial
 
-from .filters import gaussian
+from .filters import gaussian, gaussian_laplace
 from .peaks import peak_local_max
 
-__all__ = ["blob_dog"]
+__all__ = ["blob_dog", "blob_log"]
 
 
 def _blob_overlap(blob1, blob2, sigma_dim=1):
@@ -133,6 +133,74 @@ def blob_dog(
     lm = local_maxima.astype(np.float64)
     sigmas_of_peaks = sigma_list[local_maxima[:, -1]]
     scalar_sigma = np.isscalar(min_sigma) and np.isscalar(max_sigma)
+    if scalar_sigma:
+        sigmas_of_peaks = sigmas_of_peaks[:, :1]
+    lm = np.hstack([lm[:, :-1], sigmas_of_peaks])
+    sigma_dim = sigmas_of_peaks.shape[1]
+    return _prune_blobs(lm, overlap, sigma_dim=sigma_dim)
+
+
+def blob_log(
+    image,
+    min_sigma=1,
+    max_sigma=50,
+    num_sigma=10,
+    threshold=0.2,
+    overlap=0.5,
+    log_scale=False,
+    exclude_border=False,
+):
+    """Laplacian-of-Gaussian blob detection (``skimage.feature.blob_log``
+    semantics — the seed detector of the reference's disabled
+    ``blob_watershed``, iterseg ``segmentation.py:509``).
+
+    Returns an (n, ndim+sigma_dim) array of blob (coords..., sigma). The
+    scale space ``-gaussian_laplace(image, s) * mean(s)**2`` over
+    ``num_sigma`` linearly (or log-) spaced sigmas is computed on device;
+    scale-cube peak extraction and sphere-overlap pruning run on host over
+    the small candidate list, exactly as in :func:`blob_dog`.
+    """
+    image = np.asarray(image, dtype=np.float32)
+    ndim = image.ndim
+    scalar_sigma = np.isscalar(min_sigma) and np.isscalar(max_sigma)
+    min_sigma_a = np.full(ndim, min_sigma, dtype=float) if np.isscalar(
+        min_sigma
+    ) else np.asarray(min_sigma, dtype=float)
+    max_sigma_a = np.full(ndim, max_sigma, dtype=float) if np.isscalar(
+        max_sigma
+    ) else np.asarray(max_sigma, dtype=float)
+    if log_scale:
+        start = np.log10(min_sigma_a)
+        stop = np.log10(max_sigma_a)
+        sigma_list = np.stack(
+            [np.logspace(lo, hi, num_sigma) for lo, hi in zip(start, stop)],
+            axis=-1,
+        )
+    else:
+        sigma_list = np.linspace(min_sigma_a, max_sigma_a, num_sigma)
+    # device: -LoG * mean(sigma)^2 scale space
+    gl_cube = np.stack(
+        [
+            -np.asarray(gaussian_laplace(image, tuple(s))) * np.mean(s) ** 2
+            for s in sigma_list
+        ],
+        axis=-1,
+    )
+    border = (
+        (exclude_border,) * ndim + (0,)
+        if isinstance(exclude_border, int) and not isinstance(exclude_border, bool)
+        else exclude_border
+    )
+    local_maxima = peak_local_max(
+        gl_cube,
+        threshold_abs=threshold,
+        min_distance=1,
+        exclude_border=border if not isinstance(border, bool) else border,
+    )
+    if local_maxima.size == 0:
+        return np.empty((0, ndim + (1 if scalar_sigma else ndim)))
+    lm = local_maxima.astype(np.float64)
+    sigmas_of_peaks = sigma_list[local_maxima[:, -1]]
     if scalar_sigma:
         sigmas_of_peaks = sigmas_of_peaks[:, :1]
     lm = np.hstack([lm[:, :-1], sigmas_of_peaks])

@@ -25,7 +25,9 @@ import numpy as np
 
 __all__ = [
     "gaussian_kernel1d",
+    "gaussian_kernel1d_order2",
     "gaussian",
+    "gaussian_laplace",
     "dog_image",
     "maximum_filter",
     "smooth_planes",
@@ -47,15 +49,19 @@ def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     return phi / phi.sum()
 
 
-def _correlate1d_nearest(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
-    """1D correlation along ``axis`` with edge replication ('nearest')."""
+def _correlate1d_nearest(x: jnp.ndarray, taps: np.ndarray, axis: int,
+                         mode: str = "nearest") -> jnp.ndarray:
+    """1D correlation along ``axis``; ``mode`` is scipy's boundary name
+    ('nearest' → edge replication, 'reflect' → half-sample symmetric)."""
     if taps.size == 1:
         return x * float(taps[0])
     radius = (taps.size - 1) // 2
-    # replicate-pad along the filtered axis only
+    # pad along the filtered axis only
     pad = [(0, 0)] * x.ndim
     pad[axis] = (radius, radius)
-    xp = jnp.pad(x, pad, mode="edge")
+    # scipy 'reflect' (d c b a | a b c d) == numpy 'symmetric'
+    jnp_mode = {"nearest": "edge", "reflect": "symmetric"}[mode]
+    xp = jnp.pad(x, pad, mode=jnp_mode)
     # moveaxis so the filtered axis is last, do a strided window sum
     xp = jnp.moveaxis(xp, axis, -1)
     out = jnp.zeros(xp.shape[:-1] + (x.shape[axis],), dtype=x.dtype)
@@ -66,6 +72,50 @@ def _correlate1d_nearest(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.nda
     for i, w in enumerate(taps):
         out = out + xp[..., i : i + n] * jnp.asarray(w, dtype=x.dtype)
     return jnp.moveaxis(out, -1, axis)
+
+
+def gaussian_kernel1d_order2(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """Second-derivative Gaussian taps, identical to scipy's
+    ``_gaussian_kernel1d(sigma, order=2, radius)``: the normalised Gaussian
+    multiplied by the Hermite polynomial ``x²/σ⁴ − 1/σ²`` (float64, symmetric,
+    so scipy's kernel reversal is a no-op)."""
+    sigma = float(sigma)
+    radius = int(truncate * sigma + 0.5)
+    sigma2 = sigma * sigma
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    phi = np.exp(-0.5 / sigma2 * x ** 2)
+    phi = phi / phi.sum()
+    return phi * (x ** 2 / (sigma2 * sigma2) - 1.0 / sigma2)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "truncate"))
+def _gaussian_laplace_impl(x, sigma: tuple, truncate: float):
+    out = None
+    for d2_axis in range(x.ndim):
+        term = x
+        for axis, s in enumerate(sigma):
+            taps = (
+                gaussian_kernel1d_order2(s, truncate)
+                if axis == d2_axis
+                else gaussian_kernel1d(s, truncate)
+            )
+            if taps.size > 1:
+                term = _correlate1d_nearest(term, taps, axis, mode="reflect")
+        out = term if out is None else out + term
+    return out
+
+
+def gaussian_laplace(image, sigma, truncate: float = 4.0):
+    """Laplacian of Gaussian, ``scipy.ndimage.gaussian_laplace`` semantics
+    (mode='reflect'): per output axis, an order-2 derivative kernel on that
+    axis and order-0 Gaussians on the rest, summed over axes. Used by
+    ``ops.blob.blob_log`` (the LoG scale space behind the reference's
+    disabled ``blob_watershed``, iterseg ``segmentation.py:412-514``)."""
+    x = jnp.asarray(image)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)
+    sig = _as_axis_sigmas(sigma, x.ndim)
+    return _gaussian_laplace_impl(x, sig, float(truncate))
 
 
 def _as_axis_sigmas(sigma, ndim) -> tuple:
