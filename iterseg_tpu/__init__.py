@@ -28,6 +28,11 @@ from .engine.segmentation import (
     segmenters,
     affinity_unet_watershed,
     dog_blob_watershed,
+    # working equivalents of the reference's disabled trio
+    # (segmentation.py:202,322,412) — callable directly, not registered
+    unet_mask,
+    otsu_mask,
+    blob_watershed,
 )
 from .engine.predict import load_unet, predict_volume, UNetModel
 from .train.train import train_unet
@@ -52,6 +57,9 @@ __all__ = [
     "segmenters",
     "affinity_unet_watershed",
     "dog_blob_watershed",
+    "unet_mask",
+    "otsu_mask",
+    "blob_watershed",
     "load_unet",
     "predict_volume",
     "UNetModel",

@@ -375,14 +375,18 @@ def get_feature_program(model, zyx, chunk_size=(10, 256, 256),
     key = (zyx, chunk_size, margin, int(microbatch), bool(normalize),
            jnp.dtype(model.compute_dtype).name)
     cache = getattr(model, "_feature_programs", None)
-    # the built programs close over model.params: if the params object was
-    # swapped (e.g. fresh weights assigned after training), the cache
-    # would silently serve the OLD checkpoint — invalidate it
+    # the built programs close over model.params: if the params object OR
+    # any of its leaf arrays was swapped (fresh weights assigned after
+    # training, or a leaf replaced in-place in the same dict), the cache
+    # would silently serve the OLD checkpoint — fingerprint leaf identities
+    params_fp = (id(model.params),) + tuple(
+        id(leaf) for leaf in jax.tree_util.tree_leaves(model.params)
+    )
     if cache is None or getattr(
-            model, "_feature_programs_params", None) is not model.params:
+            model, "_feature_programs_params", None) != params_fp:
         cache = {}
         model._feature_programs = cache
-        model._feature_programs_params = model.params
+        model._feature_programs_params = params_fp
     if key not in cache:
         cache[key] = _build_feature_program(
             model, zyx, chunk_size, margin, microbatch, normalize

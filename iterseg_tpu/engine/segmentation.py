@@ -406,6 +406,12 @@ def unet_mask_for_chunks(input_volume, current_output, chunk_size, margin,
                          output_volume=None, unet=None, **kwargs):
     """U-Net mask channel only (reference's disabled unet-mask,
     segmentation.py:248-296, made functional)."""
+    if output_volume.shape[1:] != input_volume.shape:
+        # zero-slice removal shrank the frame (same latent reference bug
+        # guarded in affinity_watershed_for_chunks above)
+        output_volume = np.zeros(
+            (output_volume.shape[0],) + input_volume.shape, dtype=np.float32
+        )
     predict_volume(unet, input_volume, chunk_size=chunk_size, margin=margin,
                    output_volume=output_volume)
     from ..ops.threshold import threshold_otsu_np

@@ -130,6 +130,51 @@ class TestAffinityPipeline:
         pipe.segment(blob_volume(seed=5), profile=prof)
         assert len(pipe._programs) == 1  # same shape -> cached program
 
+    def test_leaf_mutation_invalidates_feature_programs(self):
+        """Replacing a leaf array inside the SAME params dict must not
+        serve the stale compiled constants (cache fingerprints leaf ids,
+        not just the dict object)."""
+        import jax
+
+        # private model: this test mutates params in place, which would
+        # poison the module-scoped shared fixture for later tests
+        import os
+
+        from iterseg_tpu.engine.predict import DEFAULT_UNET_PATH, load_unet
+
+        if os.path.exists(DEFAULT_UNET_PATH):
+            model = load_unet(DEFAULT_UNET_PATH)
+        else:
+            model = UNetModel(init_params(UNetSpec(1, 5), seed=0))
+        vol = blob_volume()
+        pipe = AffinityPipeline(model, chunk_size=(6, 64, 64),
+                                margin=(1, 8, 8))
+        before = pipe.segment(vol).copy()
+        old_fp = model._feature_programs_params
+        # in-place leaf swap WITHOUT reassigning model.params; target the
+        # first conv kernel (ndim >= 3) — leaf 0 in tree order is a
+        # BatchNorm bias, which is all-zero at init, so zeroing it would
+        # be a no-op on a fresh model
+        flat = jax.tree_util.tree_leaves_with_path(model.params)
+        k0 = next(p for p, leaf in flat if leaf.ndim >= 3)
+
+        def zero_first(path, leaf):
+            return jax.numpy.zeros_like(leaf) if path == k0 else leaf
+
+        mutated = jax.tree_util.tree_map_with_path(zero_first, model.params)
+        # copy the new leaves back into the existing dict structure
+        for (path, _), (_, new_leaf) in zip(
+            flat, jax.tree_util.tree_leaves_with_path(mutated)
+        ):
+            node = model.params
+            for p in path[:-1]:
+                node = node[p.key if hasattr(p, "key") else p.idx]
+            last = path[-1]
+            node[last.key if hasattr(last, "key") else last.idx] = new_leaf
+        after = pipe.segment(vol)
+        assert model._feature_programs_params != old_fp
+        assert not np.array_equal(before, after)
+
 
 class TestSegmentStack:
     def test_pipelined_4d_matches_per_frame(self, model):

@@ -239,6 +239,24 @@ class TestSegmentSingleVolume:
         assert np.all(out[0] == 0) and np.all(out[4] == 0)
         assert out[1:4, 1:-1, 1:-1].min() == 1
 
+    def test_unet_mask_with_zero_planes(self, tiny_unet):
+        """Zero-slice removal shrinks the frame under unet_mask: the
+        preallocated (5, *layer_shape) scratch no longer fits the prepared
+        volume (the same latent reference bug guarded in
+        affinity_watershed_for_chunks) — regression for the resize guard
+        in unet_mask_for_chunks."""
+        from iterseg_tpu.engine.segmentation import unet_mask
+
+        vol, _ = blobby_volume(shape=(6, 32, 32))
+        vol[:, :, 24:] = 0.0  # all-zero x-planes -> prepare_volume drops them
+        mask = unet_mask(
+            None, vol, None, "um-zero", tiny_unet,
+            chunk_size=(6, 32, 32), margin=(1, 4, 4), debug=True,
+        )
+        assert np.asarray(mask).shape == vol.shape
+        # removed planes stay background in the restored frame
+        assert np.all(np.asarray(mask)[:, :, 24:] == 0)
+
 
 class TestThreadedWorker:
     def test_threaded_returns_live_handle(self):
