@@ -58,6 +58,40 @@ _DOG_PROGRAM_CACHE = {}
 _GATHER_CACHE = {}
 
 
+def _transfer_capacity(n, limit, minimum=1024):
+    """Static buffer size for shipping ``n`` live entries through a cached
+    fixed-shape executable: ``n`` rounded up to a quarter-octave step
+    (1, 1.25, 1.5 or 1.75 × a power of two) instead of a full power of
+    two. The dead tail shipped over the thin host link is then ≤25% of
+    the live bytes — a pow2 round-up wastes up to 100%, ~3 MB of the
+    masked-affinity download at the 256³ bench geometry — while the set
+    of compiled gather shapes stays bounded (4 per octave)."""
+    n = int(max(n, 1))
+    if n <= minimum:
+        return int(min(minimum, limit))
+    base = 1 << (n.bit_length() - 1)
+    step = base >> 2
+    cap = -(-n // step) * step
+    return int(min(cap, limit))
+
+
+def _pick_capacity(kind, n, limit, minimum=1024):
+    """``_transfer_capacity`` with compile-churn protection for 4D stacks:
+    when a gather executable of this ``kind`` is already compiled at a
+    capacity that fits ``n`` without exceeding the old pow2 round-up
+    (the waste bound the pipelines always tolerated), reuse it — each
+    fresh capacity costs a ~5 s compile on the real chip, so per-frame
+    mask-size drift across quarter-octave steps must not recompile."""
+    cap = _transfer_capacity(n, limit, minimum)
+    n = int(max(n, 1))
+    hi = max(min(1 << (n - 1).bit_length(), limit), cap)  # old pow2 bound
+    cached = [
+        key[1] for key in _GATHER_CACHE
+        if len(key) == 2 and key[0] == kind and n <= key[1] <= hi
+    ]
+    return min(cached) if cached else cap
+
+
 def _cached_gather(kind, capacity):
     key = (kind, capacity)
     if key not in _GATHER_CACHE:
@@ -540,8 +574,7 @@ class AffinityPipeline:
         flood; returns (pre_idx, m, capacity, idx_up, vals_dev)."""
         pre_idx = np.flatnonzero(mask_pad.ravel()).astype(np.int32)
         m = len(pre_idx)
-        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
-        capacity = min(capacity, mask_pad.size)
+        capacity = _pick_capacity("rows", m, mask_pad.size)
         idx_up = np.zeros(capacity, np.int32)
         idx_up[:m] = pre_idx
         vals_dev = self._gather_fn(capacity)(aff_pad, jnp.asarray(idx_up))
@@ -1011,8 +1044,7 @@ class DoGPipeline:
         mask_w = np.pad(mask, 1, constant_values=False)
         masked_idx = np.flatnonzero(mask_w.ravel()).astype(np.int32)
         m = len(masked_idx)
-        capacity = 1 << max(int(np.ceil(np.log2(max(m, 1)))), 10)
-        capacity = min(capacity, mask_w.size)
+        capacity = _pick_capacity("flat", m, mask_w.size)
         # map flood-frame indices back to device (pshape) indices
         wshape = mask_w.shape
         c = np.stack(np.unravel_index(masked_idx, wshape), axis=1) - 1

@@ -34,6 +34,62 @@ def blob_volume(shape=(6, 64, 64), n=20, seed=2):
     return (vol / vol.max()).astype(np.float32)
 
 
+class TestTransferCapacity:
+    def test_quarter_octave_properties(self):
+        from iterseg_tpu.engine.device_pipeline import _transfer_capacity
+
+        big = 1 << 30
+        prev = 0
+        for n in [1, 100, 1023, 1024, 1025, 1536, 1537, 2047, 2048,
+                  277123, 262144, 262145, 524288, 1 << 20, (1 << 20) + 1]:
+            cap = _transfer_capacity(n, big)
+            assert cap >= n                      # always fits the live rows
+            assert cap >= prev or True           # (caps not called sorted)
+            assert cap <= max(2 * n, 1024)       # never worse than pow2
+            if n > 1024:
+                assert cap - n < n / 4 + 1       # dead tail <= 25%
+                base = 1 << (n.bit_length() - 1)
+                assert cap % (base >> 2) == 0    # on a quarter-octave step
+            prev = cap
+        # exact powers of two round-trip unchanged
+        for e in range(11, 24):
+            assert _transfer_capacity(1 << e, big) == 1 << e
+        # the limit clamps, the minimum floors
+        assert _transfer_capacity(5, big) == 1024
+        assert _transfer_capacity(1 << 20, 9999) == 9999
+        assert _transfer_capacity(3, 100) == 100
+
+    def test_pick_capacity_reuses_compiled_shapes(self):
+        """Per-frame mask-size drift across quarter-octave steps must not
+        compile a fresh gather when one within the old pow2 waste bound
+        already exists (each compile is ~5 s on the real chip)."""
+        from iterseg_tpu.engine.device_pipeline import (
+            _GATHER_CACHE, _pick_capacity, _transfer_capacity)
+
+        kind = "unit-test-kind"  # private namespace in the shared cache
+        big = 1 << 30
+        try:
+            # nothing cached: fresh quarter-octave pick
+            assert _pick_capacity(kind, 277123, big) == \
+                _transfer_capacity(277123, big)
+            # frame 1 compiled at 327680; frame 2 drifts one step up
+            # (331000 -> fresh pick 360448) but 2^19 = 524288 is within
+            # the old pow2 bound... only if cached. Cache 524288:
+            _GATHER_CACHE[(kind, 524288)] = object()
+            assert _pick_capacity(kind, 331000, big) == 524288
+            # a cached capacity SMALLER than the fresh pick that still
+            # fits n wins (least waste, zero compiles)
+            _GATHER_CACHE[(kind, 340000)] = object()
+            assert _pick_capacity(kind, 331000, big) == 340000
+            # cached capacities that don't fit n are ignored
+            assert _pick_capacity(kind, 600000, big) == \
+                _transfer_capacity(600000, big)
+        finally:
+            for key in [k for k in _GATHER_CACHE
+                        if len(k) == 2 and k[0] == kind]:
+                del _GATHER_CACHE[key]
+
+
 class TestAffinityPipeline:
     def test_matches_generic_path(self, model):
         vol = blob_volume()
