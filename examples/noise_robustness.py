@@ -24,9 +24,12 @@ def add_noise_func(img, percent, rng):
 
 
 def run(image, gt, out_dir, unet=None,
-        percentages=(0.5, 1, 2, 4, 8, 16, 32)):
+        percentages=(0.5, 1, 2, 4, 8, 16, 32), segment_kwargs=None,
+        assess_kwargs=None):
+    """``segment_kwargs`` / ``assess_kwargs`` (e.g. ``chunk_size``,
+    ``margin``) forward to the segmenters / the assessment — the defaults
+    are the reference geometry (10, 256, 256)."""
     rng = np.random.default_rng(0)
-    rows = []
     for p in percentages:
         noisy = add_noise_func(image, p, rng).astype(np.float32)
         for name, func, kwargs in (
@@ -37,10 +40,11 @@ def run(image, gt, out_dir, unet=None,
             sd = os.path.join(out_dir, f"{p}%")
             os.makedirs(sd, exist_ok=True)
             seg = func(None, noisy, None, f"{name}_{p}%", debug=True,
-                       **kwargs)
+                       **{**(segment_kwargs or {}), **kwargs})
             _assess_segmentation(
                 gt, seg, save_dir=sd, save_prefix=f"{name}_{p}",
                 name=f"{name}_{p}%", show=False,
+                **(assess_kwargs or {}),
             )
     # collate
     dfs = []
