@@ -443,12 +443,25 @@ def otsu_mask_for_chunks(input_volume, current_output, chunk_size, margin,
     current_output[1:-1, 1:-1, 1:-1] = mask
 
 
+def otsu_mask_prep_config(input_volume_layer, config_file, layer_reference):
+    """Working version of the reference's ``otsu_mask_prep_config``
+    (segmentation.py:408-410: its ``(gaus_sigma, **kwargs)`` signature
+    cannot be reached from the wrapper and it returns None, so the one
+    documented parameter was never honoured). A JSON config may set
+    ``gaus_sigma`` (default 2, the ``ws._get_mask`` sigma)."""
+    gaus_sigma = 2
+    if config_file is not None:
+        config = read_config_json(str(config_file))
+        gaus_sigma = config.get("gaus_sigma") or gaus_sigma
+    return {"gaus_sigma": gaus_sigma}
+
+
 def otsu_mask(napari_viewer, input_volume_layer, save_dir=None,
               name="labels-prediction", config_file=None,
               layer_reference=None, chunk_size=(10, 256, 256),
               margin=(1, 64, 64), debug=False):
     return segmentation_wrapper(
-        otsu_mask_for_chunks, lambda *a: {}, napari_viewer,
+        otsu_mask_for_chunks, otsu_mask_prep_config, napari_viewer,
         input_volume_layer, save_dir, name, config_file, layer_reference,
         chunk_size, margin, debug,
     )

@@ -1,4 +1,6 @@
 """End-to-end inference engine tests (BASELINE configs #1–#3 at test scale)."""
+import os
+
 import numpy as np
 import pytest
 from scipy import ndimage as ndi
@@ -328,3 +330,70 @@ class TestBucketFloodGuard:
         monkeypatch.setattr(native, "BUCKET_FLOOD_MAX_KEY", 2)
         fallback = DoGPipeline().segment(vol)
         np.testing.assert_array_equal(golden, fallback)
+
+
+class TestTrioConfigs:
+    """JSON config paths of the (reference-disabled) trio — the reference's
+    prep fns are unreachable or broken (segmentation.py:302-320, :408-410,
+    :520-540); this framework honours the documented grammar."""
+
+    def test_shipped_config_files_drive_preps(self):
+        import iterseg_tpu.engine.segmentation as seg
+
+        cfg_dir = os.path.join(os.path.dirname(__file__), "..", "examples",
+                               "config_files")
+        vol, _ = blobby_volume(shape=(8, 32, 32))
+        layer = seg._as_layer(vol)
+
+        dog = seg.dog_blob_watershed_prep_config(
+            layer, os.path.join(cfg_dir, "dog-blob-watershed-config.json"),
+            None)
+        assert (dog["min_sigma"], dog["max_sigma"], dog["threshold"]) == \
+            (1, 1.5, 0.02)
+        blob = seg.blob_watershed_prep_config(
+            layer, os.path.join(cfg_dir, "blob-watershed-config.json"), None)
+        assert blob == {"min_sigma": 1, "max_sigma": 30, "num_sigma": 10,
+                        "threshold": 0.1, "gaus_sigma": 2}
+        otsu = seg.otsu_mask_prep_config(
+            layer, os.path.join(cfg_dir, "otsu-mask-config.json"), None)
+        assert otsu == {"gaus_sigma": 2}
+        aff = seg.affinity_watershed_prep_config(
+            layer, os.path.join(cfg_dir, "unet-mask-config.json"), None)
+        assert aff["output_volume"].shape == (5, 8, 32, 32)
+
+    def test_otsu_config_gaus_sigma_honoured(self, tmp_path):
+        from iterseg_tpu.engine.segmentation import otsu_mask
+
+        vol, _ = blobby_volume(shape=(8, 32, 32), n=4)
+        kwargs = dict(chunk_size=(8, 32, 32), margin=(1, 4, 4), debug=True)
+        default = np.asarray(otsu_mask(None, vol, None, "o", None, **kwargs))
+
+        explicit = tmp_path / "otsu2.json"
+        explicit.write_text('{"gaus_sigma": 2}')
+        np.testing.assert_array_equal(
+            np.asarray(otsu_mask(None, vol, None, "o", str(explicit),
+                                 **kwargs)),
+            default,
+        )
+
+        wide = tmp_path / "otsu8.json"
+        wide.write_text('{"gaus_sigma": 8}')
+        smoothed = np.asarray(
+            otsu_mask(None, vol, None, "o", str(wide), **kwargs))
+        assert not np.array_equal(smoothed, default)
+
+    def test_blob_watershed_config_json(self, tmp_path):
+        from iterseg_tpu.engine.segmentation import blob_watershed
+
+        vol, _ = blobby_volume(shape=(8, 32, 32), n=6)
+        kwargs = dict(chunk_size=(8, 32, 32), margin=(1, 4, 4), debug=True)
+        default = np.asarray(
+            blob_watershed(None, vol, None, "b", None, **kwargs))
+        cfg = tmp_path / "blob.json"
+        cfg.write_text('{"min_sigma": 1, "max_sigma": 30, "num_sigma": 10,'
+                       ' "threshold": 0.1, "gaus_sigma": 2}')
+        np.testing.assert_array_equal(
+            np.asarray(blob_watershed(None, vol, None, "b", str(cfg),
+                                      **kwargs)),
+            default,
+        )
