@@ -619,7 +619,15 @@ class AffinityPipeline:
             jnp.asarray(bits), jnp.asarray(coords), jnp.asarray(labs)
         )
         t0 = tick("upload_mask_seeds", t0)
-        if self.device_flood == "pallas":
+        from ..ops.pallas_flood import fits_vmem
+
+        # the Pallas kernel never tiles x: wide-X volumes overflow its
+        # VMEM scratch and would fail the Mosaic compile, so they take
+        # the XLA recurrence instead of aborting the segmentation
+        kernel = self.device_flood
+        if kernel == "pallas" and not fits_vmem(pshape):
+            kernel = "xla"
+        if kernel == "pallas":
             # inner_cap=1 is the fidelity-first setting: oracle agreement
             # matches the XLA recurrence while sweeps stay ~3.5x faster
             # (benchmarks/watershed_crossover.py)

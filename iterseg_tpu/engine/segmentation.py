@@ -86,6 +86,13 @@ def read_config_json(path_to_json):
         return json.load(f)
 
 
+def _config_or(config, key, default):
+    """Missing or ``null`` falls back to the default; explicit falsy
+    values (0, 0.0) are honoured."""
+    value = config.get(key)
+    return default if value is None else value
+
+
 def dog_image(input_vol, sigma_min, sigma_max):
     """Difference-of-Gaussians (device) — parity: segmentation.py:678-680."""
     return np.asarray(_dog_image_jax(input_vol, sigma_min, sigma_max))
@@ -301,9 +308,11 @@ def dog_blob_watershed_prep_config(
     subscription bug fixed (the reference crashes on any DoG JSON config)."""
     if unet_or_config_file is not None:
         config = read_config_json(str(unet_or_config_file))
-        max_sigma = config.get("max_sigma") or max_sigma
-        min_sigma = config.get("min_sigma") or min_sigma
-        threshold = config.get("threshold") or threshold
+        # explicit falsy values (e.g. threshold 0) must be honoured, so
+        # only a missing/null key falls back to the default
+        max_sigma = _config_or(config, "max_sigma", max_sigma)
+        min_sigma = _config_or(config, "min_sigma", min_sigma)
+        threshold = _config_or(config, "threshold", threshold)
     return {
         "max_sigma": max_sigma,
         "min_sigma": min_sigma,
@@ -452,7 +461,7 @@ def otsu_mask_prep_config(input_volume_layer, config_file, layer_reference):
     gaus_sigma = 2
     if config_file is not None:
         config = read_config_json(str(config_file))
-        gaus_sigma = config.get("gaus_sigma") or gaus_sigma
+        gaus_sigma = _config_or(config, "gaus_sigma", gaus_sigma)
     return {"gaus_sigma": gaus_sigma}
 
 
@@ -484,11 +493,11 @@ def blob_watershed_prep_config(
     parameter, as in the fixed DoG prep."""
     if unet_or_config_file is not None:
         config = read_config_json(str(unet_or_config_file))
-        min_sigma = config.get("min_sigma") or min_sigma
-        max_sigma = config.get("max_sigma") or max_sigma
-        num_sigma = config.get("num_sigma") or num_sigma
-        threshold = config.get("threshold") or threshold
-        gaus_sigma = config.get("gaus_sigma") or gaus_sigma
+        min_sigma = _config_or(config, "min_sigma", min_sigma)
+        max_sigma = _config_or(config, "max_sigma", max_sigma)
+        num_sigma = _config_or(config, "num_sigma", num_sigma)
+        threshold = _config_or(config, "threshold", threshold)
+        gaus_sigma = _config_or(config, "gaus_sigma", gaus_sigma)
     return {
         "min_sigma": min_sigma,
         "max_sigma": max_sigma,
@@ -711,7 +720,8 @@ def segmentation_loop(
         yield 0
         return
     if (
-        config.get("pipeline_cache") is not None
+        processing_function is affinity_watershed_for_chunks
+        and config.get("pipeline_cache") is not None
         and config.get("unet") is not None
         and getattr(config.get("output_volume"), "shape", (0,))[0] == 5
     ):
@@ -734,7 +744,8 @@ def segmentation_loop(
         )
         return
     if (
-        config.get("pipeline_cache") is not None
+        processing_function is dog_blob_watershed_for_chunks
+        and config.get("pipeline_cache") is not None
         and "min_sigma" in config
         and config.get("use_device_pipeline", True)
     ):

@@ -89,6 +89,32 @@ def _prune_blobs(blobs_array, overlap, sigma_dim=1):
     ) else np.empty((0, blobs_array.shape[1]))
 
 
+def _scale_cube_blobs(cube, sigma_list, threshold, overlap, exclude_border,
+                      scalar_sigma, empty_cols):
+    """Shared peak-extraction + pruning tail of blob_dog/blob_log: local
+    maxima of the (space..., scale) cube → (coords..., sigma) rows →
+    sphere-overlap pruning. ``empty_cols`` preserves each caller's
+    (skimage-inherited) empty-result width."""
+    ndim = cube.ndim - 1
+    if isinstance(exclude_border, int) and not isinstance(
+        exclude_border, bool
+    ):
+        border = (exclude_border,) * ndim + (0,)
+    else:
+        border = exclude_border
+    local_maxima = peak_local_max(
+        cube, threshold_abs=threshold, min_distance=1, exclude_border=border
+    )
+    if local_maxima.size == 0:
+        return np.empty((0, empty_cols))
+    lm = local_maxima.astype(np.float64)
+    sigmas_of_peaks = sigma_list[local_maxima[:, -1]]
+    if scalar_sigma:
+        sigmas_of_peaks = sigmas_of_peaks[:, :1]
+    lm = np.hstack([lm[:, :-1], sigmas_of_peaks])
+    return _prune_blobs(lm, overlap, sigma_dim=sigmas_of_peaks.shape[1])
+
+
 def blob_dog(
     image,
     min_sigma=1,
@@ -117,27 +143,11 @@ def blob_dog(
         [gaussians[i] - gaussians[i + 1] for i in range(k)], axis=-1
     )
     dog_cube *= 1 / (sigma_ratio - 1)
-    border = (
-        (exclude_border,) * ndim + (0,)
-        if isinstance(exclude_border, int) and not isinstance(exclude_border, bool)
-        else exclude_border
-    )
-    local_maxima = peak_local_max(
-        dog_cube,
-        threshold_abs=threshold,
-        min_distance=1,
-        exclude_border=border if not isinstance(border, bool) else border,
-    )
-    if local_maxima.size == 0:
-        return np.empty((0, ndim + 1))
-    lm = local_maxima.astype(np.float64)
-    sigmas_of_peaks = sigma_list[local_maxima[:, -1]]
     scalar_sigma = np.isscalar(min_sigma) and np.isscalar(max_sigma)
-    if scalar_sigma:
-        sigmas_of_peaks = sigmas_of_peaks[:, :1]
-    lm = np.hstack([lm[:, :-1], sigmas_of_peaks])
-    sigma_dim = sigmas_of_peaks.shape[1]
-    return _prune_blobs(lm, overlap, sigma_dim=sigma_dim)
+    return _scale_cube_blobs(
+        dog_cube, sigma_list, threshold, overlap, exclude_border,
+        scalar_sigma, empty_cols=ndim + 1,
+    )
 
 
 def blob_log(
@@ -186,23 +196,7 @@ def blob_log(
         ],
         axis=-1,
     )
-    border = (
-        (exclude_border,) * ndim + (0,)
-        if isinstance(exclude_border, int) and not isinstance(exclude_border, bool)
-        else exclude_border
+    return _scale_cube_blobs(
+        gl_cube, sigma_list, threshold, overlap, exclude_border,
+        scalar_sigma, empty_cols=ndim + (1 if scalar_sigma else ndim),
     )
-    local_maxima = peak_local_max(
-        gl_cube,
-        threshold_abs=threshold,
-        min_distance=1,
-        exclude_border=border if not isinstance(border, bool) else border,
-    )
-    if local_maxima.size == 0:
-        return np.empty((0, ndim + (1 if scalar_sigma else ndim)))
-    lm = local_maxima.astype(np.float64)
-    sigmas_of_peaks = sigma_list[local_maxima[:, -1]]
-    if scalar_sigma:
-        sigmas_of_peaks = sigmas_of_peaks[:, :1]
-    lm = np.hstack([lm[:, :-1], sigmas_of_peaks])
-    sigma_dim = sigmas_of_peaks.shape[1]
-    return _prune_blobs(lm, overlap, sigma_dim=sigma_dim)

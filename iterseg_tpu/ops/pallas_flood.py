@@ -42,13 +42,27 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_wavefront_flood", "pallas_flood_jit"]
+__all__ = ["pallas_wavefront_flood", "pallas_flood_jit", "fits_vmem"]
 
 _INF = jnp.float32(np.inf)
 
 
 def _ceil_to(x, m):
     return -(-x // m) * m
+
+
+def fits_vmem(shape, tz=8, ty=32, budget=12 * 2 ** 20):
+    """Whether the kernel's VMEM scratch fits for a volume of ``shape``.
+
+    The x (lane) dimension is never tiled — every one of the 8 f32/i32
+    scratch buffers spans the full padded row, so scratch bytes =
+    ``8 * (tz+2) * (ty+16) * xp * 4``. Breaching VMEM (~16 MB) fails the
+    Mosaic compile outright, so production callers must check this and
+    fall back (``device_pipeline._flood_on_device`` drops to the XLA
+    recurrence); the 12 MB default budget leaves headroom for Mosaic's
+    own allocations."""
+    xp = max(_ceil_to(shape[-1], 128), 128)
+    return 8 * (tz + 2) * (ty + 16) * xp * 4 <= budget
 
 
 def _flood_kernel(

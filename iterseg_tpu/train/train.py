@@ -309,63 +309,53 @@ def train_unet(
         for ci, c in enumerate(channels):
             loss_dict[c].append(float(chan[ci]))
 
-    dp = mesh.shape["data"] if mesh is not None else 1
-    n_steps = -(-len(x) // dp) if len(x) else 0
+    if sharded_step is not None:
+        # mesh path: dp chunks per step, repeat-padded tail batch
+        dp = mesh.shape["data"]
+        steps = []
+        for b0 in range(0, len(x), dp):
+            idxs = list(range(b0, min(b0 + dp, len(x))))
+            steps.append(idxs + [idxs[-1]] * (dp - len(idxs)))
+        step_fn, load = sharded_step, _load_batch
+
+        def _step_id(idxs):
+            return ";".join(ids[i] for i in dict.fromkeys(idxs))
+    else:
+        steps = [[i] for i in range(len(x))]
+        step_fn = train_step
+
+        def load(idxs):
+            return _prep(x[idxs[0]], y[idxs[0]])
+
+        def _step_id(idxs):
+            return ids[idxs[0]]
+
     for e in range(epochs):
         if validate and e == 0:
             v_y_hats = run_validation(0, 0)
         running_loss = 0.0
-        if sharded_step is not None:
-            # mesh path: dp chunks per step, repeat-padded tail batch
-            steps = []
-            for b0 in range(0, len(x), dp):
-                idxs = list(range(b0, min(b0 + dp, len(x))))
-                steps.append(idxs + [idxs[-1]] * (dp - len(idxs)))
-            batch = _load_batch(steps[0]) if steps else None
-            for si, idxs in enumerate(steps):
-                xb, yb = batch
-                trainable, bn_state, opt_state, loss, chan = sharded_step(
-                    trainable, bn_state, opt_state, xb, yb, e
-                )
-                if si + 1 < len(steps):
-                    batch = _load_batch(steps[si + 1])
-                loss = float(loss)
-                _record(e, si, loss, np.asarray(chan), ";".join(
-                    ids[i] for i in dict.fromkeys(idxs)
-                ))
-                running_loss += loss
-                if si % update_every == (update_every - 1):
-                    s = (f"Epoch {e} - running loss: "
-                         f"{running_loss / update_every}")
-                    print(s)
-                    if log and save_output:
-                        write_log(s, out_dir)
-                    running_loss = 0.0
-        else:
-            batch = _prep(x[0], y[0]) if len(x) else None
-            for i in range(len(x)):
-                xb, yb = batch
-                trainable, bn_state, opt_state, loss, chan = train_step(
-                    trainable, bn_state, opt_state, xb, yb, e
-                )
-                if i + 1 < len(x):
-                    # double-buffer: read + upload the next chunk while
-                    # the dispatched step runs on device
-                    batch = _prep(x[i + 1], y[i + 1])
-                loss = float(loss)
-                _record(e, i, loss, np.asarray(chan), ids[i])
-                running_loss += loss
-                if i % update_every == (update_every - 1):
-                    s = (f"Epoch {e} - running loss: "
-                         f"{running_loss / update_every}")
-                    print(s)
-                    if log and save_output:
-                        write_log(s, out_dir)
-                    running_loss = 0.0
-        if validate:
-            v_y_hats = run_validation(
-                e, (e + 1) * (n_steps if sharded_step is not None else len(x))
+        batch = load(steps[0]) if steps else None
+        for si, idxs in enumerate(steps):
+            xb, yb = batch
+            trainable, bn_state, opt_state, loss, chan = step_fn(
+                trainable, bn_state, opt_state, xb, yb, e
             )
+            if si + 1 < len(steps):
+                # double-buffer: read + upload the next batch while the
+                # dispatched step runs on device
+                batch = load(steps[si + 1])
+            loss = float(loss)
+            _record(e, si, loss, np.asarray(chan), _step_id(idxs))
+            running_loss += loss
+            if si % update_every == (update_every - 1):
+                s = (f"Epoch {e} - running loss: "
+                     f"{running_loss / update_every}")
+                print(s)
+                if log and save_output:
+                    write_log(s, out_dir)
+                running_loss = 0.0
+        if validate:
+            v_y_hats = run_validation(e, (e + 1) * len(steps))
         if save_output:
             print("Saving Training Checkpoint...")
             _save_checkpoint_file({**trainable, **bn_state}, out_dir,

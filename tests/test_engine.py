@@ -397,3 +397,31 @@ class TestTrioConfigs:
                                       **kwargs)),
             default,
         )
+
+    def test_config_falsy_values_honoured(self, tmp_path):
+        """Explicit 0/0.0 config values must not fall back to defaults
+        (`.get(k) or default` would silently drop them)."""
+        import iterseg_tpu.engine.segmentation as seg
+
+        cfg = tmp_path / "falsy.json"
+        cfg.write_text('{"threshold": 0.0, "gaus_sigma": 0}')
+        assert seg.dog_blob_watershed_prep_config(
+            None, str(cfg), None)["threshold"] == 0.0
+        blob = seg.blob_watershed_prep_config(None, str(cfg), None)
+        assert blob["threshold"] == 0.0 and blob["gaus_sigma"] == 0
+        assert seg.otsu_mask_prep_config(None, str(cfg), None) == \
+            {"gaus_sigma": 0}
+
+    def test_unet_mask_4d_is_a_mask(self, tiny_unet):
+        """4D unet_mask must run unet_mask_for_chunks per frame — not be
+        hijacked into the affinity fast path (which is keyed on the same
+        config shape and would write watershed instance labels)."""
+        from iterseg_tpu.engine.segmentation import unet_mask
+
+        vol, _ = blobby_volume(shape=(8, 32, 32))
+        stack = np.stack([vol, vol * 0.9 + 0.05])
+        out = np.asarray(unet_mask(
+            None, stack, None, "m4", tiny_unet, chunk_size=(8, 32, 32),
+            margin=(1, 4, 4), debug=True))
+        assert out.shape == stack.shape
+        assert set(np.unique(out)) <= {0, 1}

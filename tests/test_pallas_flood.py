@@ -156,3 +156,14 @@ class TestPipelinePallasFlood:
 
         with pytest.raises(AssertionError):
             AffinityPipeline(None, device_flood="cuda")
+
+
+def test_fits_vmem_bound():
+    """The kernel never tiles x: the production fallback must reject
+    volumes whose full-row scratch overflows VMEM (8 buffers x
+    (tz+2)(ty+16)xp f32 at the default tile)."""
+    from iterseg_tpu.ops.pallas_flood import fits_vmem
+
+    assert fits_vmem((258, 258, 258))      # the 256^3 bench geometry
+    assert fits_vmem((10, 256, 768))       # 11.3 MB — inside the budget
+    assert not fits_vmem((10, 256, 1024))  # 15.7 MB — Mosaic would fail
