@@ -110,3 +110,29 @@ def test_multihost_example_single_host(tmp_path):
 
     out = np.asarray(open_zarr(str(tmp_path / "out.zarr")))
     assert out.shape == (2, 6, 64, 64) and out.max() > 0
+
+
+def test_sharded_train_example(tmp_path):
+    """examples/sharded_train.py trains over the 8-device CPU mesh and
+    saves a checkpoint + loss CSV."""
+    import pandas as pd
+
+    # drop the TPU session's .axon_site from the path: its sitecustomize
+    # pre-imports jax and pins a 1-device backend before XLA_FLAGS applies
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH=os.pathsep.join(
+                   [os.path.dirname(EXAMPLES)]
+                   + [p for p in
+                      os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                      if p and "axon" not in p]))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, "sharded_train.py"),
+         str(tmp_path / "out"), "1", "4"],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "{'data': 2, 'space': 4}" in proc.stdout
+    df = pd.read_csv(tmp_path / "out" / "loss_sharded.csv")
+    assert len(df) == 2  # 1 epoch x ceil(4 chunks / dp=2) steps
+    assert np.isfinite(df["loss"]).all()
