@@ -51,18 +51,23 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-def fits_vmem(shape, tz=8, ty=32, budget=12 * 2 ** 20):
-    """Whether the kernel's VMEM scratch fits for a volume of ``shape``.
+def fits_vmem(shape, tz=8, ty=32, budget=14 * 2 ** 20):
+    """Whether the kernel's VMEM footprint fits for a volume of ``shape``.
 
     The x (lane) dimension is never tiled — every one of the 8 f32/i32
-    scratch buffers spans the full padded row, so scratch bytes =
-    ``8 * (tz+2) * (ty+16) * xp * 4``. Breaching VMEM (~16 MB) fails the
-    Mosaic compile outright, so production callers must check this and
-    fall back (``device_pipeline._flood_on_device`` drops to the XLA
-    recurrence); the 12 MB default budget leaves headroom for Mosaic's
-    own allocations."""
+    scratch buffers spans the full padded row, so declared scratch is
+    ``8 * (tz+2) * (ty+16) * xp * 4`` bytes. Mosaic's actual scoped-vmem
+    request (DMA staging + stack copies) measures ~1.75x that on a v5e:
+    xp=768 declares 11.8 MB but requests 20.48 MB against the 16 MB
+    scoped limit (observed compile OOM), while the validated 256^3
+    production geometry (xp=384) requests ~10.3 MB and runs. Breaching
+    the limit fails the Mosaic compile outright, so production callers
+    must check this and fall back (``device_pipeline._flood_on_device``
+    drops to the XLA recurrence). With the defaults this admits
+    xp <= 512 (X <= 512 after padding)."""
     xp = max(_ceil_to(shape[-1], 128), 128)
-    return 8 * (tz + 2) * (ty + 16) * xp * 4 <= budget
+    declared = 8 * (tz + 2) * (ty + 16) * xp * 4
+    return declared * 7 // 4 <= budget
 
 
 def _flood_kernel(

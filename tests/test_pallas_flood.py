@@ -160,10 +160,12 @@ class TestPipelinePallasFlood:
 
 def test_fits_vmem_bound():
     """The kernel never tiles x: the production fallback must reject
-    volumes whose full-row scratch overflows VMEM (8 buffers x
-    (tz+2)(ty+16)xp f32 at the default tile)."""
+    volumes whose full-row footprint overflows Mosaic's 16 MB scoped
+    vmem (measured ~1.75x the declared scratch on a v5e: xp=768
+    requested 20.48 MB and failed to compile; xp=384 runs)."""
     from iterseg_tpu.ops.pallas_flood import fits_vmem
 
-    assert fits_vmem((258, 258, 258))      # the 256^3 bench geometry
-    assert fits_vmem((10, 256, 768))       # 11.3 MB — inside the budget
-    assert not fits_vmem((10, 256, 1024))  # 15.7 MB — Mosaic would fail
+    assert fits_vmem((258, 258, 258))     # the 256^3 bench geometry
+    assert fits_vmem((10, 66, 510))       # xp=512 — inside the budget
+    assert not fits_vmem((10, 66, 677))   # xp=768 — the observed OOM
+    assert not fits_vmem((10, 256, 1024))
