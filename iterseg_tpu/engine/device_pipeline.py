@@ -626,6 +626,16 @@ class AffinityPipeline:
         # the XLA recurrence instead of aborting the segmentation
         kernel = self.device_flood
         if kernel == "pallas" and not fits_vmem(pshape):
+            # labels differ between the two kernels at schedule-dependent
+            # tie races, so a forced-"pallas" caller must hear about the
+            # reroute instead of mis-attributing diffs/perf to the kernel
+            import warnings
+
+            warnings.warn(
+                f"device_flood='pallas': padded volume {pshape} exceeds "
+                "the Pallas kernel's VMEM budget (fits_vmem); using the "
+                "XLA recurrence instead", RuntimeWarning, stacklevel=3,
+            )
             kernel = "xla"
         if kernel == "pallas":
             # inner_cap=1 is the fidelity-first setting: oracle agreement

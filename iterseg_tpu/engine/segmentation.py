@@ -141,7 +141,7 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
         if unet_or_config_file.endswith(".json"):
             config = read_config_json(unet_or_config_file)
             unet = config.get("unet")
-            affinities_extent = config.get("affinities_extent") or 1
+            affinities_extent = _config_or(config, "affinities_extent", 1)
             if compute_dtype is None:
                 compute_dtype = config.get("compute_dtype")
             if device_flood is None:

@@ -46,12 +46,17 @@ __all__ = ["pallas_wavefront_flood", "pallas_flood_jit", "fits_vmem"]
 
 _INF = jnp.float32(np.inf)
 
+# default tile + scratch-buffer count, shared by the kernel and the
+# fits_vmem guard so a retuning cannot silently desynchronise them
+TZ, TY = 8, 32
+_N_SCRATCH = 8  # 5 state buffers + the 3-channel affinity buffer
+
 
 def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-def fits_vmem(shape, tz=8, ty=32, budget=14 * 2 ** 20):
+def fits_vmem(shape, tz=TZ, ty=TY, budget=14 * 2 ** 20):
     """Whether the kernel's VMEM footprint fits for a volume of ``shape``.
 
     The x (lane) dimension is never tiled — every one of the 8 f32/i32
@@ -66,7 +71,7 @@ def fits_vmem(shape, tz=8, ty=32, budget=14 * 2 ** 20):
     drops to the XLA recurrence). With the defaults this admits
     xp <= 512 (X <= 512 after padding)."""
     xp = max(_ceil_to(shape[-1], 128), 128)
-    declared = 8 * (tz + 2) * (ty + 16) * xp * 4
+    declared = _N_SCRATCH * (tz + 2) * (ty + 16) * xp * 4
     return declared * 7 // 4 <= budget
 
 
@@ -271,7 +276,7 @@ def _sweep_call(shape, n_tiles, n_ty, tz, ty, xp, yg, reverse, inner_cap,
     static_argnames=("max_sweeps", "inner_cap", "tz", "ty", "interpret"),
 )
 def pallas_flood_jit(affinities, seeds, mask, max_sweeps=64, inner_cap=64,
-                     tz=8, ty=32, interpret=False):
+                     tz=TZ, ty=TY, interpret=False):
     """Jitted core: same contract as ``device_flood.wavefront_flood_jit``.
 
     Returns ``(labels int32 (mask.shape), n_sweeps, converged)`` where a

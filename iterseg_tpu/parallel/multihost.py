@@ -247,11 +247,15 @@ def multihost_segment_zarr(
     mine = host_frames(n_frames, host_id, n_hosts)
     done = []
     # intra-host multi-chip stack path (same gating as segmentation_loop's
-    # pipelined 4D branches: a 5-channel affinity U-Net config, or a DoG
-    # config)
+    # pipelined 4D branches: keyed on the processing function's identity,
+    # so a future segmenter whose config merely looks affinity-shaped
+    # cannot be hijacked)
+    from ..engine import segmentation as seg
+
     pipe = None
     if mine and config.get("pipeline_cache") is not None:
-        if (config.get("unet") is not None
+        if (fn is seg.affinity_watershed_for_chunks
+                and config.get("unet") is not None
                 and getattr(config.get("output_volume"),
                             "shape", (0,))[0] == 5):
             from ..engine.device_pipeline import AffinityPipeline
@@ -261,7 +265,8 @@ def multihost_segment_zarr(
                 # or-False (not bool()): preserve "xla"/"pallas" forcing
                 device_flood=config.get("device_flood") or False,
             )
-        elif "min_sigma" in config:
+        elif (fn is seg.dog_blob_watershed_for_chunks
+              and "min_sigma" in config):
             from ..engine.device_pipeline import DoGPipeline
 
             pipe = DoGPipeline(min_sigma=config["min_sigma"],

@@ -425,3 +425,40 @@ class TestTrioConfigs:
             margin=(1, 4, 4), debug=True))
         assert out.shape == stack.shape
         assert set(np.unique(out)) <= {0, 1}
+
+
+class TestFloodVmemFallback:
+    def test_forced_pallas_reroutes_to_xla_when_vmem_exceeded(
+            self, tiny_unet, monkeypatch):
+        """When fits_vmem rejects the padded volume, a forced
+        device_flood="pallas" must take the XLA recurrence (with a
+        warning) rather than attempt the Mosaic compile."""
+        import warnings
+
+        import iterseg_tpu.ops.pallas_flood as pf
+        import iterseg_tpu.ops.device_flood as df
+        from iterseg_tpu.engine.segmentation import affinity_unet_watershed
+
+        calls = []
+        real_xla = df.wavefront_flood_jit
+
+        def spy_xla(*a, **k):
+            calls.append("xla")
+            return real_xla(*a, **k)
+
+        def boom_pallas(*a, **k):
+            raise AssertionError("pallas kernel must not run")
+
+        monkeypatch.setattr(pf, "fits_vmem", lambda *a, **k: False)
+        monkeypatch.setattr(pf, "pallas_flood_jit", boom_pallas)
+        monkeypatch.setattr(df, "wavefront_flood_jit", spy_xla)
+
+        vol, _ = blobby_volume(shape=(8, 32, 32))
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            labels = np.asarray(affinity_unet_watershed(
+                None, vol, None, "vm", tiny_unet, chunk_size=(8, 32, 32),
+                margin=(1, 4, 4), debug=True, device_flood="pallas"))
+        assert calls == ["xla"]
+        assert labels.shape == vol.shape
+        assert any("VMEM budget" in str(w.message) for w in caught)
