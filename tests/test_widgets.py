@@ -152,3 +152,76 @@ class TestHelpers:
         v.add_labels(np.zeros_like(gt), name="b")
         match = find_matching_labels(v, gt)
         assert match.name == "a"
+
+
+class TestLoadSavedData:
+    def test_roundtrip_via_save_frames(self, tmp_path, blob_image):
+        """save_frames -> load_saved_data reloads the saved zarr as a new
+        layer (reference _dock_widgets.py:1134)."""
+        from iterseg_tpu.widgets import load_saved_data
+
+        stack = np.stack([blob_image] * 3)
+        layer = Image(stack, name="im")
+        v = Viewer()
+        sp = save_frames(v, layer, save_dir=str(tmp_path), save_name="f",
+                         frames=(0, 2))
+        load_saved_data(True, v, (0, 2), layer, sp, None)
+        loaded = v.layers["im_f0-2"]
+        np.testing.assert_array_equal(np.asarray(loaded.data), stack[[0, 2]])
+        # load_saved=False is a no-op
+        n = len(v.layers)
+        load_saved_data(False, v, (0,), layer, sp, None)
+        assert len(v.layers) == n
+
+    def test_read_shapes(self, tmp_path):
+        from iterseg_tpu.widgets import read_shapes
+
+        shapes = np.stack([np.arange(8, dtype=float).reshape(4, 2) + i
+                           for i in range(3)])
+        p = tmp_path / "s.npy"
+        np.save(p, shapes, allow_pickle=False)
+        out = read_shapes(p)
+        assert len(out) == 3
+        np.testing.assert_array_equal(out[1], shapes[1])
+
+
+class TestTrainFromViewer:
+    def test_end_to_end(self, tmp_path, blob_image, monkeypatch):
+        """The flagship headless flow (_train_from_viewer, SURVEY §1):
+        train on stacked layers, predict labels with the fresh net, write
+        <unet>_meta.json. The experiment's crop shape is reference-fixed
+        at (10,256,256) (get_experiment_dict swallows extra kwargs), so
+        the test injects a test-scale shape the way the verify recipe
+        does."""
+        import json
+
+        import iterseg_tpu.widgets as w
+        from iterseg_tpu.widgets import _train_from_viewer
+
+        real_ged = w.get_experiment_dict
+
+        def small_ged(*a, **k):
+            exp = real_ged(*a, **k)
+            exp["get_train_data"]["shape"] = (8, 48, 48)
+            return exp
+
+        monkeypatch.setattr(w, "get_experiment_dict", small_ged)
+
+        gt = ndi.label(blob_image > 0.3)[0].astype(np.int32)
+        v = Viewer()
+        img = v.add_image(np.stack([blob_image]), name="im")
+        lab = v.add_labels(np.stack([gt]), name="gt")
+        u_path = _train_from_viewer(
+            v, img, lab, output_dir=str(tmp_path), scale=(4, 1, 1),
+            training_name="tfv", epochs=1, n_each=2, validation_prop=0.5,
+            chunk_size=(8, 48, 48), margin=(1, 8, 8),
+        )
+        assert len(u_path) == 1 and os.path.exists(u_path[0])
+        labels_layer = v.layers["tfv_labels"]
+        assert np.asarray(labels_layer.data).shape == (1, 8, 48, 48)
+        assert labels_layer.metadata["unet"] == u_path[0]
+        meta_files = [f for f in os.listdir(tmp_path)
+                      if f.endswith("_meta.json")]
+        assert len(meta_files) == 1
+        meta = json.load(open(tmp_path / meta_files[0]))
+        assert meta["epochs"] == 1 and meta["n_each"] == 2
