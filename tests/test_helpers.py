@@ -54,3 +54,41 @@ def test_get_dataset_segs(dataset_dir):
     assert np.asarray(seg)[0, 0, 0] == 4
     assert np.asarray(dog)[0, 0, 0] == 5
     assert np.asarray(im)[0, 0, 0] == 0
+
+
+def test_get_files_and_ids(dataset_dir):
+    ddir, _ = dataset_dir
+    xs, ys = helpers.get_files(str(ddir),
+                               x_regex=r"\d{6}_\d{6}_\d{1,3}_image.tif",
+                               y_regex=r"\d{6}_\d{6}_\d{1,3}_labels.tif")
+    assert len(xs) == len(ys) > 0
+    helpers.check_ids_match(sorted(xs), sorted(ys))
+    ids = helpers.get_ids(sorted(xs))
+    assert all(len(i.split("_")) == 3 for i in ids)
+    with pytest.raises(ValueError, match="Irregular ID"):
+        helpers.get_ids(["not-an-id.tif"])
+
+
+def test_write_log_and_log_dir(tmp_path):
+    helpers.write_log("line one", str(tmp_path))
+    helpers.write_log("line two", str(tmp_path))
+    assert (tmp_path / "log.txt").read_text() == "line one\nline two\n"
+    assert helpers.log_dir_or_None(True, "d") == "d"
+    assert helpers.log_dir_or_None(False, "d") is None
+
+
+def test_get_regex_images_orders_by_id(dataset_dir):
+    ddir, _ = dataset_dir
+    xs = sorted(helpers.get_paths(
+        str(ddir), regex=r"\d{6}_\d{6}_\d{1,3}_image.tif"))
+    ids = helpers.get_ids(xs)
+    stack = helpers.get_regex_images(
+        str(ddir), r"\d{6}_\d{6}_\d{1,3}_image.tif", ids[::-1])
+    assert len(stack) == len(ids)
+    # requested-order, not directory-order
+    first = np.asarray(stack[0])
+    np.testing.assert_array_equal(first, np.asarray(Image.open(xs[-1])))
+    with pytest.raises(AssertionError, match="No file match"):
+        helpers.get_regex_images(str(ddir),
+                                 r"\d{6}_\d{6}_\d{1,3}_image.tif",
+                                 ["999999_999999_9"])
