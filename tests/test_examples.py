@@ -112,6 +112,45 @@ def test_multihost_example_single_host(tmp_path):
     assert out.shape == (2, 6, 64, 64) and out.max() > 0
 
 
+def test_iterative_loop_example(tmp_path):
+    """examples/iterative_loop.py: the full flywheel — DoG first pass ->
+    assess -> ROI harvest -> train -> U-Net second pass -> assess ->
+    round-over-round comparison figure."""
+    sys.path.insert(0, EXAMPLES)
+    try:
+        import iterative_loop as il
+    finally:
+        sys.path.pop(0)
+
+    image, gt = il.synthetic_stack(shape=(2, 8, 64, 64), n_blobs=40, seed=1)
+    assert gt.max() >= 10
+    out = il.run(
+        image, gt, str(tmp_path), train_shape=(8, 48, 48),
+        chunk_size=(8, 64, 64), margin=(1, 8, 8),
+        assess_kwargs={"chunk_size": (6, 32, 32), "margin": (1, 8, 8),
+                       "exclude_chunks_less_than": 1},
+        epochs=1, n_each=4, show=False,
+    )
+    assert os.path.exists(out["unet_path"])
+    assert out["labels"]["round0"].shape == image.shape
+    assert out["labels"]["round1"].shape == image.shape
+    # the DoG first pass must find objects; the 4-step U-Net may
+    # legitimately find none at this scale (the flagship widget test
+    # makes the same concession)
+    assert out["labels"]["round0"].max() > 0
+    # one stats frame per round, and the collated figure on disk
+    for r in ("round0", "round1"):
+        assert out[r]["model_name"].iloc[0].startswith(r)
+        assert os.path.exists(
+            tmp_path / "comparison" / f"{r}_{r}-"
+            f"{'DoG' if r == 'round0' else 'unet'}_scores.csv"
+        )
+    assert os.path.exists(
+        tmp_path / "comparison" / "iterative-rounds_metric_plots.pdf"
+    ) or any(f.startswith("iterative-rounds") for f in
+             os.listdir(tmp_path / "comparison"))
+
+
 def test_sharded_train_example(tmp_path):
     """examples/sharded_train.py trains over the 8-device CPU mesh and
     saves a checkpoint + loss CSV."""
