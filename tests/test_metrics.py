@@ -181,6 +181,38 @@ class TestPlots:
         assert (tmp_path / "loss_t_loss.png").exists()
         assert (tmp_path / "loss_t_channel-loss.png").exists()
 
+    def test_experiment_vi_plots(self, tmp_path):
+        """Direct drive of the two remaining public plot fns: the
+        multi-experiment VI rainclouds (plots.py:237-284 in the
+        reference) and the two-axis VI comparison panel."""
+        import matplotlib.pyplot as plt
+
+        from iterseg_tpu.eval.plots import (VI_plot_compare,
+                                            experiment_VI_plots)
+
+        rng = np.random.default_rng(0)
+        dfs = [
+            pd.DataFrame({
+                "VI: GT | Output": rng.uniform(0, 1, 6),
+                "VI: Output | GT": rng.uniform(0, 1, 6),
+                "GT | Output": rng.uniform(0, 1, 6),
+                "Output | GT": rng.uniform(0, 1, 6),
+                "model_name": [f"m{i}"] * 6,
+            })
+            for i in range(2)
+        ]
+        experiment_VI_plots(
+            dfs, ["exp-a", "exp-b"], "VI study", "vi-study",
+            str(tmp_path), show=False,
+        )
+        assert (tmp_path / "vi-study_VI_rainclould_plots.png").exists()
+
+        f, (ax0, ax1) = plt.subplots(1, 2)
+        VI_plot_compare(pd.concat(dfs), ax0, ax1, "models",
+                        ["m0", "m1"])
+        assert ax0.get_ylabel() == "models"
+        plt.close(f)
+
     def test_comparison_plots(self, tmp_path):
         from iterseg_tpu.eval.plots import comparison_plots
 
