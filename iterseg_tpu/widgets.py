@@ -81,9 +81,16 @@ def _train_from_viewer(
     save_labels: bool = True,
     chunk_size=(10, 256, 256),
     margin=(1, 64, 64),
+    train_shape=None,
 ):
     """Train a U-Net from stacked image + GT layers, optionally predicting
-    full labels with the freshly trained network and recording metadata."""
+    full labels with the freshly trained network and recording metadata.
+
+    ``train_shape``: keyword-only extension — the random-crop shape for
+    training data. The reference widget fixes (10, 256, 256) (the
+    ``get_train_data`` default, train_io.py:22); pass a smaller shape to
+    train on volumes the fixed crop would not fit. ``None`` keeps
+    reference behaviour."""
     image_4D_stack = (
         image_stack.data if hasattr(image_stack, "data")
         and not isinstance(image_stack, np.ndarray) else image_stack
@@ -113,6 +120,8 @@ def _train_from_viewer(
         channels_list, condition_name, conditions_list=conditions_list,
         validation_prop=validation_prop, n_each=n_each,
     )
+    if train_shape is not None:
+        exp_dict["get_train_data"]["shape"] = tuple(train_shape)
     u_path = run_experiment(exp_dict, image_list, labels_list, output_dir)
 
     labels_layer = None
