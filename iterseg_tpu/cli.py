@@ -130,6 +130,28 @@ def _cmd_assess(args):
     return 0
 
 
+def _cmd_serve(args):
+    from .engine.serve import SegmentationServer, watch
+
+    devices = None
+    if args.local_devices:
+        import jax
+
+        devices = jax.local_devices()
+    server = SegmentationServer(
+        segmenter=args.segmenter,
+        network_or_config_file=args.network,
+        chunk_size=args.chunk_size, margin=args.margin,
+        devices=devices,
+    )
+    done = watch(args.watch_dir, args.output_dir, server,
+                 poll_seconds=args.poll_seconds, once=args.once,
+                 max_volumes=args.max_volumes)
+    for stem in done:
+        print(os.path.join(args.output_dir, stem + ".ome.zarr"))
+    return 0
+
+
 def _cmd_info(args):
     import jax
 
@@ -220,6 +242,26 @@ def build_parser():
     p.add_argument("--exclude-chunks-less-than", type=int, default=10)
     _add_common_io(p)
     p.set_defaults(fn=_cmd_assess)
+
+    p = sub.add_parser("serve", help="compile-once serve-many: watch a "
+                       "directory and segment volumes as they arrive")
+    p.add_argument("--watch-dir", required=True,
+                   help="directory where *.zarr stores / *.tif files land")
+    p.add_argument("--output-dir", required=True,
+                   help="labels land at <output-dir>/<stem>.ome.zarr with "
+                        "a <stem>.done marker")
+    p.add_argument("--segmenter", default="affinity-unet-watershed")
+    p.add_argument("--network", default=None,
+                   help=".npz/.pt checkpoint or segmenter config JSON")
+    p.add_argument("--poll-seconds", type=float, default=5.0)
+    p.add_argument("--once", action="store_true",
+                   help="drain the pending inputs once and exit")
+    p.add_argument("--max-volumes", type=int, default=None,
+                   help="stop after serving this many volumes")
+    p.add_argument("--local-devices", action="store_true",
+                   help="round-robin 4D frames across all local chips")
+    _add_common_io(p)
+    p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("info", help="report backend, devices, registered "
                        "segmenters and bundled weights")

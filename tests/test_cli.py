@@ -112,6 +112,28 @@ def test_assess_csvs(stack_zarrs, tmp_path, capsys):
     assert np.allclose(scores["VI: GT | Output"], 0.0)
 
 
+def test_serve_once(tmp_path, capsys):
+    """serve --once drains a watch directory: OME-Zarr labels + .done
+    markers per input, served paths on stdout."""
+    from iterseg_tpu.io.zarr_io import load_ome_zarr
+
+    w, o = tmp_path / "in", tmp_path / "out"
+    os.makedirs(w)
+    image, _ = _blob_stack(shape=(1, 8, 64, 64))
+    _save_zarr(w / "vol.zarr", image[0], np.float32)
+    rc = main([
+        "serve", "--watch-dir", str(w), "--output-dir", str(o),
+        "--segmenter", "DoG-blob-watershed",
+        "--chunk-size", "8,64,64", "--margin", "1,8,8", "--once",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out.strip().splitlines()[-1]
+    assert printed == str(o / "vol.ome.zarr")
+    assert (o / "vol.done").exists()
+    [(data, _, lt)] = load_ome_zarr(printed)
+    assert lt == "labels" and np.asarray(data).max() > 0
+
+
 def test_train_tiny(stack_zarrs, tmp_path, capsys):
     """train at test scale via --train-shape; prints the fresh .npz from
     unet_paths.txt and writes the meta JSON."""
