@@ -130,6 +130,53 @@ def _cmd_assess(args):
     return 0
 
 
+def _cmd_pod_segment(args):
+    from .parallel import multihost as mh
+
+    if args.coordinator is not None:
+        mh.init_multihost(args.coordinator,
+                          num_processes=args.num_processes,
+                          process_id=args.process_id,
+                          run_nonce=args.run_nonce)
+    elif args.run_nonce is not None:
+        mh.set_run_nonce(args.run_nonce)
+    devices = None
+    if args.local_devices:
+        import jax
+
+        devices = jax.local_devices()
+    done = mh.multihost_segment_zarr(
+        args.input, args.output, segmenter=args.segmenter,
+        network_or_config_file=args.network,
+        chunk_size=args.chunk_size, margin=args.margin,
+        host_id=args.process_id, n_hosts=args.num_processes,
+        devices=devices,
+    )
+    print(f"host frames: {done}")
+    if args.gt is not None:
+        import numpy as np
+
+        from .core.chunks import get_slices_from_chunks
+        from .io.zarr_io import open_zarr
+
+        gt = np.asarray(open_zarr(args.gt))
+        seg = np.asarray(open_zarr(args.output))
+        metrics_dir = args.metrics_dir or os.path.dirname(
+            str(args.output).rstrip("/")
+        )
+        slices = get_slices_from_chunks(seg.shape, args.chunk_size,
+                                        args.margin)
+        _, stats = mh.multihost_accuracy_metrics(
+            slices, gt, seg, "pod", args.prefix, out_path=metrics_dir,
+            exclude_chunks=args.exclude_chunks_less_than,
+            host_id=args.process_id, n_hosts=args.num_processes,
+        )
+        print(stats.T)
+        print(os.path.join(metrics_dir, f"{args.prefix}_pod_scores.csv"))
+    print(args.output)
+    return 0
+
+
 def _cmd_serve(args):
     from .engine.serve import SegmentationServer, watch
 
@@ -242,6 +289,39 @@ def build_parser():
     p.add_argument("--exclude-chunks-less-than", type=int, default=10)
     _add_common_io(p)
     p.set_defaults(fn=_cmd_assess)
+
+    p = sub.add_parser("pod-segment", help="pod-scale SPMD segmentation: "
+                       "every host runs this same command over a shared "
+                       "zarr (frames round-robin across hosts, and across "
+                       "each host's chips with --local-devices)")
+    p.add_argument("--input", required=True, help="shared tzyx zarr store")
+    p.add_argument("--output", required=True,
+                   help="shared output zarr (host 0 creates it, "
+                        "one-frame-per-chunk)")
+    p.add_argument("--segmenter", default="affinity-unet-watershed")
+    p.add_argument("--network", default=None,
+                   help=".npz/.pt checkpoint or segmenter config JSON")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="process 0's address for the jax.distributed "
+                        "runtime; omit on a single host (or shard via "
+                        "--process-id/--num-processes over a shared "
+                        "filesystem)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--run-nonce", default=None,
+                   help="string identical on every host of THIS run; "
+                        "scopes the file-based metric exchange")
+    p.add_argument("--local-devices", action="store_true",
+                   help="round-robin this host's frame shard across all "
+                        "its chips")
+    p.add_argument("--gt", default=None,
+                   help="optional ground-truth zarr: pod-sharded "
+                        "VI/AP/count metrics after segmentation")
+    p.add_argument("--metrics-dir", default=None)
+    p.add_argument("--prefix", default="pod-metrics")
+    p.add_argument("--exclude-chunks-less-than", type=int, default=10)
+    _add_common_io(p)
+    p.set_defaults(fn=_cmd_pod_segment)
 
     p = sub.add_parser("serve", help="compile-once serve-many: watch a "
                        "directory and segment volumes as they arrive")

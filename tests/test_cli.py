@@ -112,6 +112,27 @@ def test_assess_csvs(stack_zarrs, tmp_path, capsys):
     assert np.allclose(scores["VI: GT | Output"], 0.0)
 
 
+def test_pod_segment_single_host(stack_zarrs, tmp_path, capsys):
+    """pod-segment without a coordinator = single-host SPMD degenerate
+    case: all frames segmented into the shared output zarr, pod-sharded
+    metrics CSVs written against GT."""
+    ip, gp, shape = stack_zarrs
+    out = tmp_path / "pod-out.zarr"
+    rc = main([
+        "pod-segment", "--input", ip, "--output", str(out),
+        "--segmenter", "DoG-blob-watershed",
+        "--chunk-size", "8,64,64", "--margin", "1,8,8",
+        "--gt", gp, "--metrics-dir", str(tmp_path),
+        "--prefix", "cli-pod", "--exclude-chunks-less-than", "1",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "host frames: [0, 1]" in printed
+    seg = np.asarray(open_zarr(str(out)))
+    assert seg.shape == shape and seg.max() > 0
+    assert os.path.exists(tmp_path / "cli-pod_pod_scores.csv")
+
+
 def test_serve_once(tmp_path, capsys):
     """serve --once drains a watch directory: OME-Zarr labels + .done
     markers per input, served paths on stdout."""
