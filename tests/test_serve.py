@@ -118,6 +118,35 @@ def test_watch_protocol(tmp_path):
     assert watch(str(w), str(o), server, once=True) == ["v2"]
 
 
+def test_watch_crash_resume(tmp_path):
+    """A crashed serve (no .done marker, output store partially filled)
+    resumes via the per-frame warm restart: already-labelled frames are
+    left untouched, only the missing frames are segmented."""
+    w, o = tmp_path / "in", tmp_path / "out"
+    os.makedirs(w)
+    stack = np.stack([_blobs(seed=0), _blobs(seed=1)])
+    arr = open_zarr(w / "stack.zarr", shape=stack.shape,
+                    chunks=(1,) + stack.shape[1:], dtype=np.float32)
+    arr[...] = stack
+
+    server = SegmentationServer("DoG-blob-watershed", chunk_size=CHUNK,
+                                margin=MARGIN)
+    assert watch(str(w), str(o), server, once=True) == ["stack"]
+
+    # simulate the crash: marker gone, frame 1 never finished, frame 0
+    # carries labels a human might already have proofread
+    os.remove(o / "stack.done")
+    out = open_zarr(str(o / "stack.ome.zarr" / "0"))
+    out[0] = np.full(stack.shape[1:], 7, dtype=np.int32)
+    out[1] = np.zeros(stack.shape[1:], np.int32)
+
+    assert watch(str(w), str(o), server, once=True) == ["stack"]
+    assert (o / "stack.done").exists()
+    resumed = np.asarray(open_zarr(str(o / "stack.ome.zarr" / "0")))
+    np.testing.assert_array_equal(resumed[0], 7)  # skipped, not redone
+    assert resumed[1].max() > 0                   # finished the tail
+
+
 def test_watch_failure_retries(tmp_path, capsys):
     """A broken input is reported, gets no marker, and does not block
     the rest of the queue."""
