@@ -78,6 +78,10 @@ def _cmd_segment(args):
         chunk_size=args.chunk_size, margin=args.margin, debug=False,
     )
     out = os.path.join(args.output_dir, f"{args.name}.ome.zarr")
+    if args.pyramid_levels:
+        from .io.zarr_io import add_pyramid_levels
+
+        add_pyramid_levels(out, n_levels=args.pyramid_levels)
     print(out)
     return 0
 
@@ -193,7 +197,8 @@ def _cmd_serve(args):
     )
     done = watch(args.watch_dir, args.output_dir, server,
                  poll_seconds=args.poll_seconds, once=args.once,
-                 max_volumes=args.max_volumes)
+                 max_volumes=args.max_volumes,
+                 pyramid_levels=args.pyramid_levels)
     for stem in done:
         print(os.path.join(args.output_dir, stem + ".ome.zarr"))
     return 0
@@ -247,6 +252,9 @@ def build_parser():
                         "(default: bundled default U-Net)")
     p.add_argument("--scale", type=_scale3, default=(1.0, 1.0, 1.0),
                    metavar="Z,Y,X")
+    p.add_argument("--pyramid-levels", type=int, default=0,
+                   help="append N downsampled NGFF levels to the output "
+                        "labels store (level 0 stays the exact labels)")
     _add_common_io(p)
     p.set_defaults(fn=_cmd_segment)
 
@@ -340,6 +348,9 @@ def build_parser():
                    help="stop after serving this many volumes")
     p.add_argument("--local-devices", action="store_true",
                    help="round-robin 4D frames across all local chips")
+    p.add_argument("--pyramid-levels", type=int, default=0,
+                   help="append N downsampled NGFF levels per served "
+                        "store (level 0 stays the exact labels)")
     _add_common_io(p)
     p.set_defaults(fn=_cmd_serve)
 

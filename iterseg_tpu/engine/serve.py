@@ -145,7 +145,7 @@ def scan_watch_dir(watch_dir, output_dir):
 
 
 def watch(watch_dir, output_dir, server, poll_seconds=5.0, once=False,
-          max_volumes=None):
+          max_volumes=None, pyramid_levels=0):
     """Serve loop: segment every pending input in ``watch_dir`` into
     ``output_dir``, then poll for new arrivals (or return, with
     ``once=True``, after a single drain — the testable mode).
@@ -174,6 +174,10 @@ def watch(watch_dir, output_dir, server, poll_seconds=5.0, once=False,
                 out_path = os.path.join(str(output_dir), stem + ".ome.zarr")
                 t0 = time.time()
                 server.segment_to(data, out_path, name=stem)
+                if pyramid_levels:
+                    from ..io.zarr_io import add_pyramid_levels
+
+                    add_pyramid_levels(out_path, n_levels=pyramid_levels)
                 with open(os.path.join(str(output_dir), stem + ".done"),
                           "w") as f:
                     f.write(f"{time.time() - t0:.3f}s\n")

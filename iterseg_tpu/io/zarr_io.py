@@ -26,6 +26,7 @@ __all__ = [
     "zarr_save",
     "zarr_open",
     "save_labels_to_ome",
+    "add_pyramid_levels",
     "load_ome_zarr",
     "ome_metadata",
     "is_ome_labels",
@@ -204,6 +205,75 @@ def save_labels_to_ome(path, data=None, layer_meta=None, shape=None,
     if data is not None:
         arr[...] = np.asarray(data)
     return arr
+
+
+def _downsample_2x_yx(a, method):
+    """Halve the last two axes: ``nearest`` = stride view (exact label
+    subsampling, NGFF's convention for label pyramids), ``mean`` =
+    2x2 block mean (images). Odd trailing rows/cols are cropped (floor
+    semantics, matching common NGFF scalers). Host numpy on purpose:
+    downsampling is memory-bound, so shipping the volume to the device
+    costs more than the op (the transfer-budget rule,
+    engine/device_pipeline.py)."""
+    if method == "nearest":
+        return np.ascontiguousarray(a[..., ::2, ::2])
+    y, x = a.shape[-2] // 2, a.shape[-1] // 2
+    a = a[..., : y * 2, : x * 2]
+    blocks = a.reshape(a.shape[:-2] + (y, 2, x, 2))
+    return blocks.mean(axis=(-3, -1), dtype=np.float64).astype(a.dtype)
+
+
+def add_pyramid_levels(path, n_levels=2, method=None, min_yx=32):
+    """Append NGFF multiscale levels to an existing OME-Zarr store.
+
+    TPU-native extension beyond the reference (its writer is
+    single-scale, ``_io.py:142-166``; its *reader* already consumes
+    multiscale images — parity kept by ``load_ome_zarr``): level ``L+1``
+    halves level ``L`` in y/x, with the datasets' scale transformations
+    doubled accordingly (z/t scales untouched — anisotropic microscopy
+    pyramids downsample in-plane only). Labels stores default to
+    ``nearest`` (a stride view of the exact level-0 labels — level 0
+    stays the source of truth, so warm restart and proofreading are
+    unaffected); image stores default to ``mean``.
+
+    Stops early once y or x would drop below ``min_yx`` (or after
+    ``n_levels``). Idempotent: re-running appends only missing levels.
+    Returns the list of level paths in the store.
+    """
+    path = pathlib.Path(path)
+    meta = ome_metadata(path)
+    ms = meta["multiscales"][0]
+    ds = ms["datasets"]
+    if method is None:
+        method = "nearest" if is_ome_labels(meta) else "mean"
+    target = len(ds) + int(n_levels)
+    while len(ds) < target:
+        prev = np.asarray(open_zarr(path / ds[-1]["path"])[...])
+        if min(prev.shape[-2:]) < 2 * int(min_yx):
+            break
+        nxt = _downsample_2x_yx(prev, method)
+        lvl = len(ds)
+        arr = open_zarr(
+            path / str(lvl), shape=nxt.shape,
+            chunks=tuple(min(c, s) for c, s in
+                         zip((1,) * (nxt.ndim - 2) + nxt.shape[-2:],
+                             nxt.shape)),
+            dtype=prev.dtype,
+        )
+        arr[...] = nxt
+        tfs = []
+        for tf in ds[-1].get("coordinateTransformations", []):
+            tf = dict(tf)
+            if tf.get("type") == "scale":
+                s = list(map(float, tf["scale"]))
+                s[-1] *= 2.0
+                s[-2] *= 2.0
+                tf["scale"] = s
+            tfs.append(tf)
+        ds.append({"coordinateTransformations": tfs, "path": str(lvl)})
+        with open(path / ".zattrs", "w") as f:
+            json.dump(meta, f, indent=2)
+    return [d["path"] for d in ds]
 
 
 def ome_metadata(path) -> dict:

@@ -92,6 +92,27 @@ def test_segment_dog_zarr_roundtrip(stack_zarrs, tmp_path, capsys):
     assert arr.shape == shape and arr.max() > 0
 
 
+def test_segment_pyramid_levels(stack_zarrs, tmp_path, capsys):
+    """--pyramid-levels appends stride-downsampled NGFF levels; level 0
+    stays the exact labels."""
+    from iterseg_tpu.io.zarr_io import ome_metadata, open_zarr
+
+    ip, _, _ = stack_zarrs
+    rc = main([
+        "segment", "--input", ip, "--output-dir", str(tmp_path),
+        "--name", "pyr", "--segmenter", "DoG-blob-watershed",
+        "--chunk-size", "8,64,64", "--margin", "1,8,8",
+        "--pyramid-levels", "1",
+    ])
+    assert rc == 0
+    out = tmp_path / "pyr.ome.zarr"
+    ds = ome_metadata(out)["multiscales"][0]["datasets"]
+    assert [d["path"] for d in ds] == ["0", "1"]
+    lvl0 = np.asarray(open_zarr(out / "0")[...])
+    lvl1 = np.asarray(open_zarr(out / "1")[...])
+    np.testing.assert_array_equal(lvl1, lvl0[..., ::2, ::2])
+
+
 def test_assess_csvs(stack_zarrs, tmp_path, capsys):
     """assess GT-vs-GT (perfect segmentation): scores CSV lands with
     zero VI rows."""

@@ -162,3 +162,98 @@ def test_ome_reader_returns_channel_meta(tmp_path):
     assert meta["contrast_limits"] == [(10.0, 200.0), (0.0, 90.0)]
     assert meta["name"] == ["nuclei", "membrane"]
     np.testing.assert_allclose(meta["scale"], (4.0, 1.0, 1.0))
+
+
+def test_add_pyramid_levels_labels(tmp_path):
+    """Label pyramids: nearest (stride) levels appended to an existing
+    store, scale transformations doubled in y/x only, level 0 untouched,
+    idempotent re-run, and the reader still returns exact level 0."""
+    import json
+
+    from iterseg_tpu.io.zarr_io import (add_pyramid_levels, load_ome_zarr,
+                                        ome_metadata, open_zarr,
+                                        save_labels_to_ome)
+
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 9, size=(3, 4, 128, 96)).astype(np.uint32)
+    p = tmp_path / "labels.ome.zarr"
+    save_labels_to_ome(
+        p, data=labels,
+        layer_meta={"scale": (1.0, 4.0, 1.0, 1.0),
+                    "translate": (0.0, 0.0, 0.0, 0.0), "name": "lab"},
+        chunks=(1, 4, 128, 96),
+    )
+    paths = add_pyramid_levels(p, n_levels=2, min_yx=8)
+    assert paths == ["0", "1", "2"]
+
+    meta = ome_metadata(p)
+    ds = meta["multiscales"][0]["datasets"]
+    scales = [
+        [t["scale"] for t in d["coordinateTransformations"]
+         if t["type"] == "scale"][0]
+        for d in ds
+    ]
+    assert scales[1] == [1.0, 4.0, 2.0, 2.0]
+    assert scales[2] == [1.0, 4.0, 4.0, 4.0]
+
+    lvl0 = np.asarray(open_zarr(p / "0")[...])
+    lvl1 = np.asarray(open_zarr(p / "1")[...])
+    lvl2 = np.asarray(open_zarr(p / "2")[...])
+    np.testing.assert_array_equal(lvl0, labels)           # untouched
+    np.testing.assert_array_equal(lvl1, labels[..., ::2, ::2])
+    np.testing.assert_array_equal(lvl2, labels[..., ::4, ::4])
+    assert lvl1.dtype == labels.dtype
+
+    # idempotent: already at the target depth, nothing re-appended
+    assert add_pyramid_levels(p, n_levels=0) == ["0", "1", "2"]
+
+    # labels reader contract: still the exact highest-resolution level
+    [(data, meta2, lt)] = load_ome_zarr(p)
+    assert lt == "labels"
+    np.testing.assert_array_equal(np.asarray(data[...]), labels)
+    np.testing.assert_allclose(meta2["scale"], (1.0, 4.0, 1.0, 1.0))
+
+
+def test_add_pyramid_levels_image_mean_and_floor(tmp_path):
+    """Image pyramids: 2x2 block means, odd trailing columns cropped
+    (floor semantics), early stop at min_yx, and the multiscale reader
+    returns the level list."""
+    import json
+
+    from iterseg_tpu.io.zarr_io import (add_pyramid_levels, load_ome_zarr,
+                                        open_zarr)
+
+    img = np.arange(4 * 16 * 17, dtype=np.float32).reshape(4, 16, 17)
+    p = tmp_path / "img.ome.zarr"
+    p.mkdir()
+    with open(p / ".zgroup", "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    attrs = {"multiscales": [{
+        "version": "0.4", "name": "img",
+        "axes": [
+            {"name": "z", "type": "space", "unit": "micrometer"},
+            {"name": "y", "type": "space", "unit": "micrometer"},
+            {"name": "x", "type": "space", "unit": "micrometer"},
+        ],
+        "datasets": [{"path": "0", "coordinateTransformations": [
+            {"type": "scale", "scale": [4.0, 1.0, 1.0]},
+        ]}],
+    }]}
+    with open(p / ".zattrs", "w") as f:
+        json.dump(attrs, f)
+    arr = open_zarr(p / "0", shape=img.shape, chunks=img.shape,
+                    dtype=np.float32)
+    arr[...] = img
+
+    # min_yx=8: level 1 is (4, 8, 8); level 2 (y=4) is refused
+    paths = add_pyramid_levels(p, n_levels=5, min_yx=8)
+    assert paths == ["0", "1"]
+    lvl1 = np.asarray(open_zarr(p / "1")[...])
+    assert lvl1.shape == (4, 8, 8)
+    # 2x2 block mean of the even-cropped base, exact
+    crop = img[:, :16, :16]
+    expected = crop.reshape(4, 8, 2, 8, 2).mean(axis=(2, 4))
+    np.testing.assert_allclose(lvl1, expected)
+
+    [(data, _, lt)] = load_ome_zarr(p)
+    assert lt == "image" and isinstance(data, list) and len(data) == 2
