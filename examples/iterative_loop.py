@@ -110,7 +110,7 @@ def run(
         t, z, y, x = image_layer.data.shape
         roi = np.array([
             [0, 0, y // 4, x // 4],
-            [0, 0, y // 4, y // 4 + y // 2],
+            [0, 0, y // 4, x // 4 + x // 2],
             [0, 0, y // 4 + y // 2, x // 4 + x // 2],
             [0, 0, y // 4 + y // 2, x // 4],
         ], dtype=float)

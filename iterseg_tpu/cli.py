@@ -158,13 +158,13 @@ def _cmd_pod_segment(args):
     )
     print(f"host frames: {done}")
     if args.gt is not None:
-        import numpy as np
-
         from .core.chunks import get_slices_from_chunks
         from .io.zarr_io import open_zarr
 
-        gt = np.asarray(open_zarr(args.gt))
-        seg = np.asarray(open_zarr(args.output))
+        # zarr-backed on purpose: the metrics shard reads only this
+        # host's chunks (lazy path in multihost_accuracy_metrics)
+        gt = open_zarr(args.gt)
+        seg = open_zarr(args.output)
         metrics_dir = args.metrics_dir or os.path.dirname(
             str(args.output).rstrip("/")
         )
@@ -195,13 +195,14 @@ def _cmd_serve(args):
         chunk_size=args.chunk_size, margin=args.margin,
         devices=devices,
     )
+    errors = []
     done = watch(args.watch_dir, args.output_dir, server,
                  poll_seconds=args.poll_seconds, once=args.once,
                  max_volumes=args.max_volumes,
-                 pyramid_levels=args.pyramid_levels)
+                 pyramid_levels=args.pyramid_levels, errors=errors)
     for stem in done:
         print(os.path.join(args.output_dir, stem + ".ome.zarr"))
-    return 0
+    return 1 if errors else 0
 
 
 def _cmd_info(args):

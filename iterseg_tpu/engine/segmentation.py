@@ -586,6 +586,27 @@ def blob_watershed(
 # ---------------------------------------------------------------------------
 
 
+def allocate_labels_store(save_path, shape, chunk_size, name,
+                          scale=None, translate=None, dtype=np.int32):
+    """The standard output labels store: OME-Zarr, chunked one frame /
+    one chunk-size block. Single source of truth for the store layout —
+    used by ``segmentation_wrapper`` and ``engine/serve`` so one-shot
+    and served outputs stay bit-compatible."""
+    layer_meta = {
+        "scale": scale if scale is not None else np.ones(len(shape)),
+        "translate": (translate if translate is not None
+                      else np.zeros(len(shape))),
+        "name": name,
+    }
+    return save_labels_to_ome(
+        str(save_path), layer_meta=layer_meta, shape=tuple(shape),
+        chunks=tuple(int(min(c, s)) for c, s in
+                     zip((1,) * (len(shape) - 3) + tuple(chunk_size),
+                         shape)),
+        dtype=dtype,
+    )
+
+
 def segmentation_wrapper(
     processing_function: Callable,
     config_prep_function: Callable,
@@ -622,15 +643,11 @@ def segmentation_wrapper(
     shape = data.shape
     scale = getattr(input_volume_layer, "scale", np.ones(len(shape)))
     translate = getattr(input_volume_layer, "translate", np.zeros(len(shape)))
-    layer_meta = {"scale": scale, "translate": translate, "name": name}
     if save_path is not None:
         os.makedirs(str(save_dir), exist_ok=True)
-        output_labels = save_labels_to_ome(
-            save_path, layer_meta=layer_meta, shape=shape,
-            chunks=tuple(int(min(c, s)) for c, s in
-                         zip((1,) * (len(shape) - 3) + tuple(chunk_size),
-                             shape)),
-            dtype=np.int32,
+        output_labels = allocate_labels_store(
+            save_path, shape, chunk_size, name, scale=scale,
+            translate=translate,
         )
     else:
         output_labels = np.zeros(shape, dtype=np.int32)

@@ -94,23 +94,13 @@ class SegmentationServer:
         """Segment one (t,)zyx array/zarr into an OME-Zarr labels store at
         ``save_path``; returns the zarr-backed labels (same store layout
         as ``segmentation_wrapper``, so outputs are drop-in)."""
-        from ..io.zarr_io import save_labels_to_ome
         from . import segmentation as seg
 
         layer = seg._as_layer(data, name=name)
         config = self._config_for(layer)
         shape = tuple(layer.data.shape)
-        layer_meta = {
-            "scale": np.ones(len(shape)),
-            "translate": np.zeros(len(shape)),
-            "name": name,
-        }
-        output_labels = save_labels_to_ome(
-            str(save_path), layer_meta=layer_meta, shape=shape,
-            chunks=tuple(int(min(c, s)) for c, s in
-                         zip((1,) * (len(shape) - 3) + self.chunk_size,
-                             shape)),
-            dtype=np.int32,
+        output_labels = seg.allocate_labels_store(
+            save_path, shape, self.chunk_size, name,
         )
         for t in seg.segmentation_loop(
             None, layer.data, self.chunk_size, self.margin, output_labels,
@@ -120,41 +110,81 @@ class SegmentationServer:
         return output_labels
 
 
+def _store_ready(path):
+    """A zarr store is servable once its array metadata exists — either a
+    plain array root (``.zarray``) or an OME-Zarr group root whose level-0
+    array is in place (``0/.zarray``)."""
+    return (os.path.exists(os.path.join(path, ".zarray"))
+            or os.path.exists(os.path.join(path, "0", ".zarray")))
+
+
+def _marker_source(marker_path):
+    """The input entry a ``.done`` marker recorded (its first line), or
+    None for pre-source markers that held only the timing line."""
+    try:
+        with open(marker_path) as f:
+            first = f.readline().strip()
+    except OSError:
+        return None
+    if first.endswith("s"):
+        try:
+            float(first[:-1])
+            return None  # legacy timing-only marker
+        except ValueError:
+            pass
+    return first or None
+
+
 def scan_watch_dir(watch_dir, output_dir):
-    """Pending inputs: (input_path, stem, is_file) for every
-    ``*.zarr``/``*.zar`` store (with a ``.zarray``) or ``*.tif(f)`` file
-    in ``watch_dir`` without a ``<stem>.done`` marker in ``output_dir``,
-    oldest first."""
-    pending = []
+    """Pending inputs: (input_path, stem, is_file) for every servable
+    ``*.zarr``/``*.zar`` store (plain or OME root) or ``*.tif(f)`` file in
+    ``watch_dir`` without a matching ``<stem>.done`` marker in
+    ``output_dir``, oldest first.
+
+    Markers record which input they belong to, so a store and a tiff
+    sharing a base name ("vol.zarr" / "vol.tif") never shadow each other:
+    the second source is deterministically served under ``<base>-<ext>``
+    ("vol-tif") instead of being silently dropped."""
+    entries = []
     for entry in sorted(os.listdir(watch_dir)):
         path = os.path.join(watch_dir, entry)
         if entry.endswith((".zarr", ".zar")) and os.path.isdir(path):
-            if not os.path.exists(os.path.join(path, ".zarray")):
+            if not _store_ready(path):
                 continue  # still being created
-            stem = entry.rsplit(".", 1)[0]
-            pending.append((path, stem, False))
+            entries.append((path, entry, False))
         elif entry.endswith((".tif", ".tiff")) and os.path.isfile(path):
-            stem = entry.rsplit(".", 1)[0]
-            pending.append((path, stem, True))
-    pending = [
-        (p, stem, f) for (p, stem, f) in pending
-        if not os.path.exists(os.path.join(output_dir, stem + ".done"))
-    ]
+            entries.append((path, entry, True))
+    pending, taken = [], set()
+    for path, entry, is_file in entries:
+        base, ext = entry.rsplit(".", 1)
+        stem = base
+        marker = os.path.join(output_dir, stem + ".done")
+        src = _marker_source(marker) if os.path.exists(marker) else ()
+        # base stem belongs to someone else (another pending entry, or a
+        # marker recorded for a different source) -> deterministic alias
+        if stem in taken or src not in ((), None, entry):
+            stem = f"{base}-{ext}"
+            marker = os.path.join(output_dir, stem + ".done")
+        taken.add(stem)
+        if not os.path.exists(marker):
+            pending.append((path, stem, is_file))
     pending.sort(key=lambda item: os.path.getmtime(item[0]))
     return pending
 
 
 def watch(watch_dir, output_dir, server, poll_seconds=5.0, once=False,
-          max_volumes=None, pyramid_levels=0):
+          max_volumes=None, pyramid_levels=0, errors=None):
     """Serve loop: segment every pending input in ``watch_dir`` into
     ``output_dir``, then poll for new arrivals (or return, with
     ``once=True``, after a single drain — the testable mode).
 
     Per input: labels land at ``<output_dir>/<stem>.ome.zarr`` and a
-    ``<stem>.done`` marker records completion (producers should write
-    stores under a temporary name and rename them in). Failures are
-    reported and retried on the next poll (no marker is written).
-    Returns the list of stems segmented."""
+    ``<stem>.done`` marker records the source entry + timing (producers
+    should write stores under a temporary name and rename them in).
+    Failures are reported and retried on the next poll (no marker is
+    written); pass ``errors=[]`` to also collect ``(path, exception)``
+    pairs — the CLI uses this to exit nonzero on a failed ``--once``
+    drain. Returns the list of stems segmented."""
     from ..widgets import read_data
 
     os.makedirs(str(output_dir), exist_ok=True)
@@ -180,12 +210,15 @@ def watch(watch_dir, output_dir, server, poll_seconds=5.0, once=False,
                     add_pyramid_levels(out_path, n_levels=pyramid_levels)
                 with open(os.path.join(str(output_dir), stem + ".done"),
                           "w") as f:
-                    f.write(f"{time.time() - t0:.3f}s\n")
+                    f.write(f"{os.path.basename(path)}\n"
+                            f"{time.time() - t0:.3f}s\n")
                 print(f"served {stem} in {time.time() - t0:.2f}s -> "
                       f"{out_path}", flush=True)
                 done.append(stem)
             except Exception as e:  # keep serving; retried next poll
                 print(f"ERROR serving {path}: {e!r}", flush=True)
+                if errors is not None:
+                    errors.append((path, e))
         if once:
             return done
         if max_volumes is not None and len(done) >= max_volumes:

@@ -214,14 +214,18 @@ def _collect_chunk_scores(slices, gt_data, model_result, VI=True, AP=True,
         "Count difference (%)": [],
     }
     scores.update(generate_IoU_dict())
-    gt_data = _layer_data(gt_data)
-    model_result = _layer_data(model_result)
+    # lazy: 4D zarr-backed inputs are sliced one chunk at a time below,
+    # never materialised whole (pod-scale stacks exceed host RAM)
+    gt_data = _layer_data(gt_data, lazy=True)
+    model_result = _layer_data(model_result, lazy=True)
     if gt_data.ndim != model_result.ndim:
         dim_dif = gt_data.ndim - model_result.ndim
         if dim_dif == -1:
-            gt_data = np.stack([gt_data] * model_result.shape[0])
+            gt_data = np.stack([np.asarray(gt_data)] * model_result.shape[0])
         elif dim_dif == 1:
-            model_result = np.stack([model_result] * gt_data.shape[0])
+            model_result = np.stack(
+                [np.asarray(model_result)] * gt_data.shape[0]
+            )
         else:
             raise ValueError(
                 "Ground truth and model result must be either 3D or 4D "
@@ -230,8 +234,8 @@ def _collect_chunk_scores(slices, gt_data, model_result, VI=True, AP=True,
     if gt_data.ndim == 3:
         # the chunk slices carry a leading frame slice; promote to 1-frame
         # 4D (the reference only supports 4D inputs here)
-        gt_data = gt_data[None]
-        model_result = model_result[None]
+        gt_data = np.asarray(gt_data)[None]
+        model_result = np.asarray(model_result)[None]
     for s_, c_ in slices:
         gt = np.squeeze(np.asarray(gt_data[s_]))[c_]
         n_objects = np.unique(gt).size
@@ -280,10 +284,19 @@ def _finalize_scores(scores, name, prefix, out_path, AP=True):
     return (new_scores, ap_scores), statistics
 
 
-def _layer_data(obj):
+def _layer_data(obj, lazy=False):
+    """Unwrap a napari layer / array-like to its data.
+
+    ``lazy=True`` keeps disk-backed array-likes (zarr, ZarrArray, dask)
+    un-materialised — the per-chunk scoring loop slices them one chunk at
+    a time, so pod-scale assessment of a stack that doesn't fit in host
+    RAM stays O(chunk). Plain numpy semantics otherwise."""
     if hasattr(obj, "data") and not isinstance(obj, np.ndarray):
         if not isinstance(getattr(obj, "data"), memoryview):
-            return np.asarray(obj.data)
+            obj = obj.data
+    if (lazy and not isinstance(obj, np.ndarray)
+            and hasattr(obj, "shape") and hasattr(obj, "__getitem__")):
+        return obj
     return np.asarray(obj)
 
 

@@ -215,10 +215,10 @@ def _downsample_2x_yx(a, method):
     downsampling is memory-bound, so shipping the volume to the device
     costs more than the op (the transfer-budget rule,
     engine/device_pipeline.py)."""
-    if method == "nearest":
-        return np.ascontiguousarray(a[..., ::2, ::2])
     y, x = a.shape[-2] // 2, a.shape[-1] // 2
     a = a[..., : y * 2, : x * 2]
+    if method == "nearest":
+        return np.ascontiguousarray(a[..., ::2, ::2])
     blocks = a.reshape(a.shape[:-2] + (y, 2, x, 2))
     return blocks.mean(axis=(-3, -1), dtype=np.float64).astype(a.dtype)
 
@@ -236,9 +236,12 @@ def add_pyramid_levels(path, n_levels=2, method=None, min_yx=32):
     stays the source of truth, so warm restart and proofreading are
     unaffected); image stores default to ``mean``.
 
-    Stops early once y or x would drop below ``min_yx`` (or after
-    ``n_levels``). Idempotent: re-running appends only missing levels.
-    Returns the list of level paths in the store.
+    Stops early once y or x would drop below ``min_yx`` (or at
+    ``1 + n_levels`` total levels). Idempotent: a store already at the
+    target depth is untouched, a shallower one only gains the missing
+    levels. 4D stacks downsample one frame at a time (the stores are
+    chunked one-frame-per-chunk), so host RAM stays O(frame) — the same
+    budget as the serve loop. Returns the list of level paths.
     """
     path = pathlib.Path(path)
     meta = ome_metadata(path)
@@ -246,21 +249,26 @@ def add_pyramid_levels(path, n_levels=2, method=None, min_yx=32):
     ds = ms["datasets"]
     if method is None:
         method = "nearest" if is_ome_labels(meta) else "mean"
-    target = len(ds) + int(n_levels)
+    target = 1 + int(n_levels)
     while len(ds) < target:
-        prev = np.asarray(open_zarr(path / ds[-1]["path"])[...])
+        prev = open_zarr(path / ds[-1]["path"])
         if min(prev.shape[-2:]) < 2 * int(min_yx):
             break
-        nxt = _downsample_2x_yx(prev, method)
         lvl = len(ds)
+        y2, x2 = prev.shape[-2] // 2, prev.shape[-1] // 2
+        nxt_shape = prev.shape[:-2] + (y2, x2)
         arr = open_zarr(
-            path / str(lvl), shape=nxt.shape,
+            path / str(lvl), shape=nxt_shape,
             chunks=tuple(min(c, s) for c, s in
-                         zip((1,) * (nxt.ndim - 2) + nxt.shape[-2:],
-                             nxt.shape)),
+                         zip((1,) * (len(nxt_shape) - 2) + nxt_shape[-2:],
+                             nxt_shape)),
             dtype=prev.dtype,
         )
-        arr[...] = nxt
+        if len(nxt_shape) >= 4:
+            for t in range(nxt_shape[0]):  # O(frame) RAM, not O(stack)
+                arr[t] = _downsample_2x_yx(np.asarray(prev[t]), method)
+        else:
+            arr[...] = _downsample_2x_yx(np.asarray(prev[...]), method)
         tfs = []
         for tf in ds[-1].get("coordinateTransformations", []):
             tf = dict(tf)

@@ -446,15 +446,19 @@ def multihost_accuracy_metrics(
     # 3D<->4D promotion once, up front: per-chunk _collect_chunk_scores
     # calls would otherwise re-stack the full volume for every chunk.
     # broadcast_to gives the frame-replicated view without copying.
-    gt_data = _layer_data(gt_data)
-    model_result = _layer_data(model_result)
+    # lazy=True keeps matched-ndim zarr-backed stacks disk-backed — each
+    # host then reads only its 1/n_hosts share of chunks, never the whole
+    # stack (the pod exists because the stack exceeds one host's RAM).
+    gt_data = _layer_data(gt_data, lazy=True)
+    model_result = _layer_data(model_result, lazy=True)
     if gt_data.ndim == 3 and model_result.ndim == 4:
         gt_data = np.broadcast_to(
-            gt_data, (model_result.shape[0],) + gt_data.shape
+            np.asarray(gt_data), (model_result.shape[0],) + gt_data.shape
         )
     elif model_result.ndim == 3 and gt_data.ndim == 4:
         model_result = np.broadcast_to(
-            model_result, (gt_data.shape[0],) + model_result.shape
+            np.asarray(model_result),
+            (gt_data.shape[0],) + model_result.shape
         )
     template = {
         "VI: GT | Output": [],

@@ -205,7 +205,8 @@ def test_add_pyramid_levels_labels(tmp_path):
     assert lvl1.dtype == labels.dtype
 
     # idempotent: already at the target depth, nothing re-appended
-    assert add_pyramid_levels(p, n_levels=0) == ["0", "1", "2"]
+    assert add_pyramid_levels(p, n_levels=2, min_yx=8) == ["0", "1", "2"]
+    assert len(ome_metadata(p)["multiscales"][0]["datasets"]) == 3
 
     # labels reader contract: still the exact highest-resolution level
     [(data, meta2, lt)] = load_ome_zarr(p)

@@ -326,3 +326,27 @@ def test_two_process_pod_with_two_chips_each_matches_single_host(stack,
     pod = np.asarray(open_zarr(str(root / "out_auw_mh.zarr")))
     assert golden.max() > 0
     np.testing.assert_array_equal(pod, golden)
+
+
+def test_metrics_lazy_zarr_inputs_match_numpy(stack):
+    """Zarr-backed gt/seg handles flow through the lazy path (each host
+    reads only its chunk shard, never the whole stack) and produce the
+    exact frames the numpy path does."""
+    root, data = stack
+    golden_z = open_zarr(str(root / "out_single.zarr"))
+    gt_z = open_zarr(str(root / "gt.zarr"))
+    golden = np.asarray(golden_z)
+    gt = np.asarray(gt_z)
+    slices = get_slices_from_chunks(golden.shape, CHUNK, MARGIN)
+
+    (n_scores, n_ap), n_stats = mh.multihost_accuracy_metrics(
+        slices, gt, golden, "mh", "lazy", exclude_chunks=2, out_path=None,
+        host_id=0, n_hosts=1,
+    )
+    (z_scores, z_ap), z_stats = mh.multihost_accuracy_metrics(
+        slices, gt_z, golden_z, "mh", "lazy", exclude_chunks=2,
+        out_path=None, host_id=0, n_hosts=1,
+    )
+    pd.testing.assert_frame_equal(z_scores, n_scores)
+    pd.testing.assert_frame_equal(z_ap, n_ap)
+    pd.testing.assert_frame_equal(z_stats, n_stats)

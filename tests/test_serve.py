@@ -165,3 +165,64 @@ def test_watch_failure_retries(tmp_path, capsys):
     assert "ERROR serving" in capsys.readouterr().out
     # still pending for the next poll
     assert [s for _, s, _ in scan_watch_dir(str(w), str(o))] == ["bad"]
+
+
+def test_watch_serves_ome_root_stores(tmp_path):
+    """An OME-Zarr export (group root, array at 0/) in the watch dir is
+    servable, not treated as half-written."""
+    from iterseg_tpu.io.zarr_io import save_labels_to_ome
+
+    w, o = tmp_path / "in", tmp_path / "out"
+    os.makedirs(w)
+    vol = _blobs()
+    save_labels_to_ome(
+        w / "ome-vol.zarr", data=vol,
+        layer_meta={"scale": (1.0,) * 3, "translate": (0.0,) * 3,
+                    "name": "v"},
+    )
+    server = SegmentationServer("DoG-blob-watershed", chunk_size=CHUNK,
+                                margin=MARGIN)
+    assert watch(str(w), str(o), server, once=True) == ["ome-vol"]
+    [(data, _, lt)] = load_ome_zarr(str(o / "ome-vol.ome.zarr"))
+    assert lt == "labels" and np.asarray(data).max() > 0
+
+
+def test_watch_stem_collision(tmp_path):
+    """A store and a tiff sharing a base name are BOTH served — the
+    later source under the deterministic <base>-<ext> alias — across
+    separate drains (markers record their source)."""
+    from PIL import Image
+
+    w, o = tmp_path / "in", tmp_path / "out"
+    os.makedirs(w)
+    _save_zarr(w / "vol.zarr", _blobs(seed=0))
+    server = SegmentationServer("DoG-blob-watershed", chunk_size=CHUNK,
+                                margin=MARGIN)
+    assert watch(str(w), str(o), server, once=True) == ["vol"]
+
+    # a different volume arrives as vol.tif: served under vol-tif
+    frames = [Image.fromarray(z) for z in _blobs(seed=1)]
+    frames[0].save(w / "vol.tif", save_all=True, append_images=frames[1:])
+    assert watch(str(w), str(o), server, once=True) == ["vol-tif"]
+    assert (o / "vol-tif.done").exists() and (o / "vol.done").exists()
+    # both drained; nothing pending, nothing shadowed
+    assert watch(str(w), str(o), server, once=True) == []
+
+
+def test_watch_errors_collected(tmp_path):
+    """errors=[] collects failures (the CLI exits nonzero on a failed
+    --once drain)."""
+    from iterseg_tpu.cli import main
+
+    w, o = tmp_path / "in", tmp_path / "out"
+    os.makedirs(w)
+    bad = w / "bad.zarr"
+    os.makedirs(bad)
+    (bad / ".zarray").write_text("not json")
+    server = SegmentationServer("DoG-blob-watershed", chunk_size=CHUNK,
+                                margin=MARGIN)
+    errors = []
+    assert watch(str(w), str(o), server, once=True, errors=errors) == []
+    assert len(errors) == 1 and errors[0][0].endswith("bad.zarr")
+    assert main(["serve", "--watch-dir", str(w), "--output-dir", str(o),
+                 "--segmenter", "DoG-blob-watershed", "--once"]) == 1
