@@ -205,6 +205,20 @@ def _cmd_serve(args):
     return 1 if errors else 0
 
 
+def _cmd_convert(args):
+    from .models.convert import (load_checkpoint, save_checkpoint,
+                                 save_checkpoint_orbax)
+
+    params = load_checkpoint(args.input)
+    out = str(args.output)
+    if out.endswith((".npz", ".pt", ".pth")):
+        written = save_checkpoint(params, out)
+    else:
+        written = save_checkpoint_orbax(params, out)
+    print(written)
+    return 0
+
+
 def _cmd_info(args):
     import jax
 
@@ -354,6 +368,16 @@ def build_parser():
                         "store (level 0 stays the exact labels)")
     _add_common_io(p)
     p.set_defaults(fn=_cmd_serve)
+
+    p = sub.add_parser("convert", help="convert U-Net checkpoints between "
+                       ".pt/.pth (torch), .npz (native) and orbax "
+                       "(directory) formats")
+    p.add_argument("--input", required=True,
+                   help=".npz / .pt / .pth file or orbax directory")
+    p.add_argument("--output", required=True,
+                   help="suffix picks the format: .npz / .pt / .pth, "
+                        "anything else is written as an orbax directory")
+    p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("info", help="report backend, devices, registered "
                        "segmenters and bundled weights")

@@ -191,3 +191,28 @@ def test_train_tiny(stack_zarrs, tmp_path, capsys):
     assert printed.endswith(".npz") and os.path.exists(printed)
     metas = [f for f in os.listdir(tmp_path) if f.endswith("_meta.json")]
     assert len(metas) == 1
+
+
+def test_convert_roundtrip(tmp_path, capsys):
+    """convert: .npz -> .pt -> orbax -> .npz, parameters bit-preserved
+    through every hop."""
+    from iterseg_tpu.models.convert import load_checkpoint, save_checkpoint
+    from iterseg_tpu.models.unet import UNetSpec, init_params
+
+    params = init_params(UNetSpec(1, 5), seed=0)
+    src = save_checkpoint(params, str(tmp_path / "src.npz"))
+
+    hops = [str(tmp_path / "a.pt"), str(tmp_path / "orbax-dir"),
+            str(tmp_path / "back.npz")]
+    prev = src
+    for out in hops:
+        assert main(["convert", "--input", prev, "--output", out]) == 0
+        assert capsys.readouterr().out.strip().splitlines()[-1] == out
+        prev = out
+
+    final = load_checkpoint(prev)
+    orig = load_checkpoint(src)
+    assert set(final) == set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(np.asarray(final[k]),
+                                      np.asarray(orig[k]))
