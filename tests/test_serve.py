@@ -226,3 +226,20 @@ def test_watch_errors_collected(tmp_path):
     assert len(errors) == 1 and errors[0][0].endswith("bad.zarr")
     assert main(["serve", "--watch-dir", str(w), "--output-dir", str(o),
                  "--segmenter", "DoG-blob-watershed", "--once"]) == 1
+
+
+def test_server_multi_device_frames_identical(tmp_path):
+    """devices= round-robins a stack's frames across chips (CPU-mesh
+    stand-ins here); labels bit-equal the single-device serve."""
+    import jax
+
+    stack = np.stack([_blobs(seed=s) for s in range(3)])
+    single = SegmentationServer("DoG-blob-watershed", chunk_size=CHUNK,
+                                margin=MARGIN)
+    out1 = single.segment_to(stack, tmp_path / "one.ome.zarr")
+
+    multi = SegmentationServer("DoG-blob-watershed", chunk_size=CHUNK,
+                               margin=MARGIN, devices=jax.devices()[:2])
+    out2 = multi.segment_to(stack, tmp_path / "two.ome.zarr")
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.asarray(out1).max() > 0
