@@ -212,10 +212,13 @@ def _valid_grid(zyx, chunk_size, margin):
     pads = []
     for s, c, m in zip(zyx, chunk_size, mults):
         usable = min(c, s)
-        pads.append((0, 0) if usable >= m else (0, m - s))
+        # pad only when the VOLUME axis is below the minimum; a chunk
+        # axis below it is bumped up to the minimum instead (a negative
+        # pad / zero-size chunk would crash np.pad / make_chunks)
+        pads.append((0, 0) if usable >= m else (0, max(m - s, 0)))
     padded = tuple(s + p[1] for s, p in zip(zyx, pads))
     chunk = tuple(
-        (min(int(c), int(s)) // m) * m
+        (max(min(int(c), int(s)), m) // m) * m
         for c, s, m in zip(chunk_size, padded, mults)
     )
     marg = tuple(
@@ -471,7 +474,9 @@ class AffinityPipeline:
         assert device_flood in (False, "xla", "pallas"), device_flood
         self.device_flood = device_flood
         self._programs = {}
-        self._aff_host = {}  # pshape -> (3, n) scatter buffer (see _finalize)
+        # (pshape, buffer): the most-recent shape's scatter buffer only —
+        # ragged 4D stacks would otherwise pin ~200 MB per distinct shape
+        self._aff_host = (None, None)
 
     # ------------------------------------------------------------------
     # device programs: F (shared chunked forward), P (shared feature prep,
@@ -686,8 +691,9 @@ class AffinityPipeline:
         identical to single-device execution. This is the pod-scale frame
         decomposition the reference's serial loop implies (SURVEY §2.4).
 
-        Frames that trigger zero-slice removal (shape change) fall back to
-        the unpipelined exact path.
+        Frames that trigger zero-slice removal (shape change) stay in the
+        pipeline but compile a per-shape feature program on first sight
+        (~seconds each) — ragged stacks pay that once per distinct shape.
         """
         from ..core.volume import restore_labels
 
@@ -728,7 +734,12 @@ class AffinityPipeline:
 
         t0 = _time.perf_counter()
         outs = self._device_outputs(volume)
-        jax.block_until_ready(outs[1])
+        # fence by CONSUMING bytes (the 4-byte n_cand scalar): through a
+        # tunnel, block_until_ready acks before execution finishes and
+        # would report dispatch rate, not compute (CLAUDE.md) — all
+        # outputs come from the one executable, so reading any of them
+        # waits for the whole program
+        np.asarray(outs[3])
         if profile is not None:
             profile["device_program"] = profile.get(
                 "device_program", 0.0
@@ -837,9 +848,11 @@ class AffinityPipeline:
         # reused scatter buffer: every index the flood reads (in-mask voxels
         # of THIS call) is freshly written below, so stale values from a
         # previous frame are never consumed — skipping the 200 MB memset
-        if pshape not in self._aff_host:
-            self._aff_host[pshape] = np.empty((3, mask_pad.size), np.float32)
-        aff_host = self._aff_host[pshape]
+        if self._aff_host[0] != pshape:
+            self._aff_host = (
+                pshape, np.empty((3, mask_pad.size), np.float32)
+            )
+        aff_host = self._aff_host[1]
         aff_host[:, pre_idx] = vals
         offsets, axes = neighbor_offsets(pshape)
         n_half = len(offsets) // 2
@@ -853,12 +866,23 @@ class AffinityPipeline:
         if len(centroids):
             markers = np.ravel_multi_index(tuple(centroids.T), pshape)
             output[markers] = np.arange(len(markers), dtype=np.int32) + 1
-            native.priority_flood(
-                aff_host, offsets, axes, val_off,
-                markers.astype(np.int64),
-                np.zeros(len(markers), np.float32),
-                mask_pad.ravel(), output,
-            )
+            try:
+                native.priority_flood(
+                    aff_host, offsets, axes, val_off,
+                    markers.astype(np.int64),
+                    np.zeros(len(markers), np.float32),
+                    mask_pad.ravel(), output,
+                )
+            except native.NativeUnavailable:
+                # no compiler on this host: exact pure-python oracle, the
+                # same fallback ops/watershed.affinity_watershed takes
+                from ..ops import watershed_oracle as oracle
+
+                output[:] = 0
+                oracle.affinity_flood_py(
+                    aff_host.reshape((3,) + pshape), centroids,
+                    mask_pad.view(np.bool_), output=output,
+                )
         t0 = tick("flood", t0)
         labels = output.reshape(pshape)[1:-1, 1:-1, 1:-1]
         return labels
@@ -914,16 +938,7 @@ class DoGPipeline:
             # threshold mask from the classic DoG image
             # (segmentation.py:635-637)
             dog = gaussian(vol_pad, smin) - gaussian(vol_pad, smax)
-            mask = dog > thr
-            mbits = mask.ravel()
-            pad_bits = (-mbits.size) % 8
-            if pad_bits:
-                mbits = jnp.concatenate([mbits, jnp.zeros(pad_bits, bool)])
-            weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-            mask_packed = jnp.sum(
-                mbits.reshape(-1, 8).astype(jnp.uint8) * weights, axis=1,
-                dtype=jnp.uint8,
-            )
+            mask_packed = _pack_mask_bits(dog > thr)
             # blob_dog scale space (ops/blob.py semantics)
             gs = [gaussian(vol_pad, float(s)) for s in sigma_list]
             cube = jnp.stack(
@@ -941,7 +956,10 @@ class DoGPipeline:
             from ..ops.edt import edt_sq
 
             dist_sq = edt_sq(vol_pad != 0)
-            return mask_packed, order, n_cand, dist_sq
+            # cube ships as an output ONLY for the candidate-overflow
+            # fallback (n_cand > capacity): it stays device-resident and
+            # is downloaded just on that rare path
+            return mask_packed, order, n_cand, dist_sq, cube
 
         return jax.jit(program)
 
@@ -986,7 +1004,9 @@ class DoGPipeline:
         zyx = volume.shape
         t0 = _time.perf_counter()
         outs = self._device_outputs(volume)
-        jax.block_until_ready(outs[0])
+        # fence by consuming the 4-byte n_cand scalar (block_until_ready
+        # acks before execution finishes through a tunnel — CLAUDE.md)
+        np.asarray(outs[2])
         if profile is not None:
             profile["device_program"] = profile.get(
                 "device_program", 0.0
@@ -1036,7 +1056,7 @@ class DoGPipeline:
                 )
             return _time.perf_counter()
 
-        mask_packed, order, n_cand, dist_sq = outs
+        mask_packed, order, n_cand, dist_sq, cube = outs
         t0 = _time.perf_counter()
         pshape = tuple(s + 2 for s in zyx)
         nvox = int(np.prod(pshape))
@@ -1046,13 +1066,27 @@ class DoGPipeline:
         n_cand = int(n_cand)
         k = len(self.sigma_list) - 1
         cube_shape = pshape + (k,)
-        # pow2-capped cached slice: an eager `order[:n_cand]` would compile
-        # a new slice executable for every distinct candidate count (one
-        # per frame on real 4D stacks)
-        live = min(n_cand, self.cand_capacity)
-        cap = 1 << max(int(np.ceil(np.log2(max(live, 1)))), 8)
-        cap = min(cap, self.cand_capacity)
-        idx_sorted = np.asarray(_cached_slice(cap)(order))[:live]
+        if n_cand > self.cand_capacity:
+            # overflow fallback (exactness over speed, mirroring the
+            # affinity pipeline's host peak path): the ranking past the
+            # capacity was dropped on device, so recompute the full
+            # candidate order on host from the downloaded cube — same
+            # stable argsort of the same f32 scores
+            from scipy.ndimage import maximum_filter as ndi_max
+
+            cube_np = np.asarray(cube)
+            cand = (cube_np == ndi_max(cube_np, size=3, mode="nearest"))
+            cand &= cube_np > self.threshold
+            scores = np.where(cand, -cube_np, np.inf).ravel()
+            idx_sorted = np.argsort(scores, kind="stable")[:n_cand]
+        else:
+            # pow2-capped cached slice: an eager `order[:n_cand]` would
+            # compile a new slice executable for every distinct candidate
+            # count (one per frame on real 4D stacks)
+            live = min(n_cand, self.cand_capacity)
+            cap = 1 << max(int(np.ceil(np.log2(max(live, 1)))), 8)
+            cap = min(cap, self.cand_capacity)
+            idx_sorted = np.asarray(_cached_slice(cap)(order))[:live]
         coords4 = np.stack(np.unravel_index(idx_sorted, cube_shape), axis=1)
         t0 = tick("download", t0)
 
@@ -1107,24 +1141,40 @@ class DoGPipeline:
         marker_locations = np.flatnonzero(output).astype(np.int64)
         offsets, _ = neighbor_offsets(wshape)
         max_key = int(vals_sq.max()) if m else 0
-        if max_key < native.BUCKET_FLOOD_MAX_KEY:
-            keys = np.zeros(mask_w.size, np.int32)
-            keys[masked_idx] = vals_sq.astype(np.int32)
-            native.bucket_flood_image(
-                keys, offsets, marker_locations, mask_w.ravel(), output,
-            )
-        else:
-            # the f32 cast of the f64 sqrt matches the host path
-            # (image_watershed casts the -EDT image to f32)
+        try:
+            if max_key < native.BUCKET_FLOOD_MAX_KEY:
+                keys = np.zeros(mask_w.size, np.int32)
+                keys[masked_idx] = vals_sq.astype(np.int32)
+                native.bucket_flood_image(
+                    keys, offsets, marker_locations, mask_w.ravel(), output,
+                )
+            else:
+                # the f32 cast of the f64 sqrt matches the host path
+                # (image_watershed casts the -EDT image to f32)
+                prio = np.zeros(mask_w.size, np.float32)
+                prio[masked_idx] = (
+                    -np.sqrt(vals_sq.astype(np.float64))
+                ).astype(np.float32)
+                val_chan = np.zeros(len(offsets), dtype=np.int64)
+                native.priority_flood(
+                    prio[None], offsets, val_chan, offsets,
+                    marker_locations, prio[marker_locations],
+                    mask_w.ravel(), output,
+                )
+        except native.NativeUnavailable:
+            # no compiler on this host: exact pure-python heap oracle
+            # (the same fallback ops/watershed.image_watershed takes)
+            from ..ops import watershed_oracle as oracle
+
             prio = np.zeros(mask_w.size, np.float32)
             prio[masked_idx] = (
                 -np.sqrt(vals_sq.astype(np.float64))
             ).astype(np.float32)
-            val_chan = np.zeros(len(offsets), dtype=np.int64)
-            native.priority_flood(
-                prio[None], offsets, val_chan, offsets, marker_locations,
-                prio[marker_locations], mask_w.ravel(), output,
+            inner = (slice(1, -1),) * 3
+            labels_p = oracle.image_flood_py(
+                prio.reshape(wshape)[inner], markers, mask,
             )
+            output = np.pad(labels_p, 1).astype(np.int32).ravel()
         t0 = tick("flood", t0)
         labels = output.reshape(wshape)[1:-1, 1:-1, 1:-1]
         if out is not None:

@@ -282,6 +282,16 @@ def pallas_flood_jit(affinities, seeds, mask, max_sweeps=64, inner_cap=64,
     Returns ``(labels int32 (mask.shape), n_sweeps, converged)`` where a
     sweep is one forward plus one backward Gauss-Seidel pass.
     """
+    if inner_cap < 1:
+        # inner_cap=0 would make every tile's claim loop a no-op: all
+        # sweeps report "no change" and the flood returns converged=True
+        # with seeds-only labels — reject instead of silently lying
+        raise ValueError(f"inner_cap must be >= 1, got {inner_cap}")
+    if ty % 8 != 0 or tz < 1:
+        raise ValueError(
+            f"ty must be a multiple of 8 (Mosaic sublane DMA alignment) "
+            f"and tz >= 1; got tz={tz}, ty={ty}"
+        )
     Z, Y, X = mask.shape
     xp = max(_ceil_to(X, 128), 128)
     zp = max(_ceil_to(Z, tz), tz)

@@ -522,3 +522,67 @@ class TestDoGStack:
         for t, vol in enumerate(vols_u16):
             ref = pipe.segment(prepare_volume(vol.astype(np.float32)))
             np.testing.assert_array_equal(out[t], ref[1:-1, 1:-1, 1:-1])
+
+
+class TestReviewHardening:
+    """Fixes from the round-3 deep review: overflow exactness, no-native
+    oracle fallbacks, grid guards."""
+
+    def test_dog_candidate_overflow_exact(self):
+        """n_cand > cand_capacity: the host recomputes the full candidate
+        ranking from the downloaded cube — labels stay bit-equal."""
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        vol = blob_volume(shape=(10, 48, 48), n=14, seed=30)
+        ref = DoGPipeline().segment(vol)
+        tiny = DoGPipeline(cand_capacity=8)
+        np.testing.assert_array_equal(tiny.segment(vol), ref)
+
+    def test_no_native_fallback_exact(self, model, monkeypatch):
+        """ITERSEG_TPU_NO_NATIVE=1: both pipelines fall back to the exact
+        pure-python heap oracles instead of raising NativeUnavailable."""
+        from iterseg_tpu import native
+        from iterseg_tpu.engine.device_pipeline import (AffinityPipeline,
+                                                        DoGPipeline)
+
+        vol = blob_volume(shape=(6, 32, 32), n=8, seed=31)
+        aff_pipe = AffinityPipeline(model, chunk_size=(6, 32, 32),
+                                    margin=(1, 4, 4))
+        ref_aff = aff_pipe.segment(vol)
+        ref_dog = DoGPipeline().segment(vol)
+
+        monkeypatch.setenv("ITERSEG_TPU_NO_NATIVE", "1")
+        monkeypatch.setattr(native, "_lib", None)
+        got_aff = AffinityPipeline(model, chunk_size=(6, 32, 32),
+                                   margin=(1, 4, 4)).segment(vol)
+        got_dog = DoGPipeline().segment(vol)
+        np.testing.assert_array_equal(got_aff, ref_aff)
+        np.testing.assert_array_equal(got_dog, ref_dog)
+
+    def test_valid_grid_small_chunk_axes(self):
+        """chunk axes below the hardware minima are bumped up, never
+        producing negative pads or zero-size chunks."""
+        from iterseg_tpu.engine.device_pipeline import _valid_grid
+
+        pads, padded, chunk, marg = _valid_grid(
+            (10, 100, 100), (1, 8, 8), (1, 4, 4)
+        )
+        assert all(p[1] >= 0 for p in pads)
+        assert chunk == (2, 16, 16)
+        assert all(m >= 0 for m in marg)
+        # small-volume padding still behaves as before
+        pads, padded, chunk, marg = _valid_grid(
+            (1, 8, 8), (10, 256, 256), (1, 64, 64)
+        )
+        assert padded == (2, 16, 16) and chunk == (2, 16, 16)
+
+    def test_pallas_flood_rejects_degenerate_params(self):
+        from iterseg_tpu.ops.pallas_flood import pallas_flood_jit
+
+        aff = np.zeros((3, 8, 16, 128), np.float32)
+        seeds = np.zeros((8, 16, 128), np.int32)
+        mask = np.zeros((8, 16, 128), bool)
+        with pytest.raises(ValueError, match="inner_cap"):
+            pallas_flood_jit(aff, seeds, mask, inner_cap=0)
+        with pytest.raises(ValueError, match="multiple of 8"):
+            pallas_flood_jit(aff, seeds, mask, ty=12)
