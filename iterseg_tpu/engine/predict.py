@@ -170,28 +170,22 @@ def predict_volume(
     # The U-Net's pool/crop ladder admits only z even and y/x multiples of
     # 16 (the 256→129→65→33→17 ladder inverted); pad undersized axes with
     # edge values (cropped after) and clamp chunks to valid sizes. The
-    # reference crashes outright on such volumes.
-    mults = (2, 16, 16)
-    # pad any axis too small to fit one valid chunk
-    pads = []
-    for s, c, m in zip(orig_zyx, chunk_size, mults):
-        usable = min(c, s)
-        if usable >= m:
-            pads.append((0, 0))
-        else:
-            pads.append((0, m - s))
+    # reference crashes outright on such volumes. Legacy 4D inputs carry
+    # only singleton leading axes (the reference unsqueezes to NCZYX) —
+    # squeeze them so the zyx chunk grid indexes the right axes.
+    if volume.ndim > 3:
+        if int(np.prod(volume.shape[:-3])) != 1:
+            raise ValueError(
+                f"predict_volume expects a zyx volume (or singleton "
+                f"leading axes), got shape {volume.shape}"
+            )
+        volume = volume.reshape(volume.shape[-3:])
+    from .device_pipeline import _valid_grid  # one grid contract, one copy
+
+    pads, _, chunk_size, margin = _valid_grid(orig_zyx, chunk_size, margin)
     if any(p[1] for p in pads):
-        volume = np.pad(volume, [(0, 0)] * (volume.ndim - 3) + pads,
-                        mode="edge")
+        volume = np.pad(volume, pads, mode="edge")
     zyx = volume.shape[-3:]
-    chunk_size = tuple(
-        (min(int(c), int(s)) // m) * m
-        for c, s, m in zip(chunk_size, zyx, mults)
-    )
-    margin = tuple(
-        min(int(mg), (min(int(s), int(c)) - 1) // 2)
-        for mg, s, c in zip(margin, zyx, chunk_size)
-    )
     starts, crops = make_chunks(zyx, chunk_size, margin)
     n = len(starts)
     C = model.out_channels
@@ -223,10 +217,14 @@ def predict_volume(
         for i in range(b0, b1):
             crop = crops[i]
             cr = tuple(slice(int(lo), int(hi)) for lo, hi in crop)
-            sl = (slice(None),) + chunk_slices(starts[i], chunk_size)
-            output_volume[sl][(slice(None),) + cr] = yb_host[i - b0][
-                (slice(None),) + cr
-            ]
+            # ONE composed assignment (chunk slice + margin crop): chained
+            # `out[sl][cr] = ...` writes into a temporary copy when
+            # output_volume is zarr/tensorstore-backed
+            combined = (slice(None),) + tuple(
+                slice(int(st) + int(lo), int(st) + int(hi))
+                for st, (lo, hi) in zip(starts[i], crop)
+            )
+            output_volume[combined] = yb_host[i - b0][(slice(None),) + cr]
     if padded:
         crop = (slice(None),) + tuple(slice(0, s) for s in orig_zyx)
         if final_output is None:

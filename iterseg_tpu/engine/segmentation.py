@@ -741,6 +741,7 @@ def segmentation_loop(
         and config.get("pipeline_cache") is not None
         and config.get("unet") is not None
         and getattr(config.get("output_volume"), "shape", (0,))[0] == 5
+        and config.get("use_device_pipeline", True)
     ):
         # pipelined 4D fast path: frame t+1's device program overlaps
         # frame t's host flood (same labels as the per-frame path)

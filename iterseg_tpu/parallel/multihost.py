@@ -187,11 +187,20 @@ class _FrameSubsetOut:
         self._idxs = list(idxs)
         self.shape = (len(self._idxs),) + tuple(out.shape[-3:])
 
+    @staticmethod
+    def _frame(t):
+        # accept the driver's `labels[t, ...]` form as well as plain ints
+        if isinstance(t, tuple):
+            t = t[0]
+        return t
+
     def __getitem__(self, t):
-        return self._out[self._idxs[t]]
+        return self._out[self._idxs[self._frame(t)]]
 
     def __setitem__(self, t, value):
-        self._out[self._idxs[t]] = np.asarray(value).astype(np.uint32)
+        self._out[self._idxs[self._frame(t)]] = (
+            np.asarray(value).astype(np.uint32)
+        )
 
 
 def multihost_segment_zarr(
@@ -222,7 +231,7 @@ def multihost_segment_zarr(
     share their compiled programs with the generic paths; tested in
     ``tests/test_multihost.py``).
     """
-    from ..engine.segmentation import segment_single_volume, _as_layer
+    from ..engine.segmentation import segmentation_loop, _as_layer
     from ..io.zarr_io import open_zarr
 
     host_id, n_hosts = _resolve_host(host_id, n_hosts)
@@ -246,48 +255,19 @@ def multihost_segment_zarr(
 
     mine = host_frames(n_frames, host_id, n_hosts)
     done = []
-    # intra-host multi-chip stack path (same gating as segmentation_loop's
-    # pipelined 4D branches: keyed on the processing function's identity,
-    # so a future segmenter whose config merely looks affinity-shaped
-    # cannot be hijacked)
-    from ..engine import segmentation as seg
-
-    pipe = None
-    if mine and config.get("pipeline_cache") is not None:
-        if (fn is seg.affinity_watershed_for_chunks
-                and config.get("unet") is not None
-                and getattr(config.get("output_volume"),
-                            "shape", (0,))[0] == 5):
-            from ..engine.device_pipeline import AffinityPipeline
-
-            pipe = AffinityPipeline(
-                config["unet"], chunk_size=chunk_size, margin=margin,
-                # or-False (not bool()): preserve "xla"/"pallas" forcing
-                device_flood=config.get("device_flood") or False,
-            )
-        elif (fn is seg.dog_blob_watershed_for_chunks
-              and "min_sigma" in config):
-            from ..engine.device_pipeline import DoGPipeline
-
-            pipe = DoGPipeline(min_sigma=config["min_sigma"],
-                               max_sigma=config["max_sigma"],
-                               threshold=config["threshold"])
-    if pipe is not None:
+    if mine:
+        # delegate to THE per-frame driver: same pipelined 4D fast paths,
+        # gating (incl. use_device_pipeline opt-out), warm restart and
+        # fallbacks as single-host segmentation_loop — the frame-subset
+        # adapters map local t back to this host's global frames
+        if devices is not None:
+            config["devices"] = devices
         sub_in = _FrameSubset(data, mine)
         sub_out = _FrameSubsetOut(out, mine)
-        for t_local in pipe.segment_stack(sub_in, sub_out, devices=devices):
+        for t_local in segmentation_loop(
+            None, sub_in, chunk_size, margin, sub_out, fn, config,
+        ):
             done.append(mine[t_local])
-        _barrier("iterseg:segment_done")
-        return done
-    for t in mine:
-        if np.any(np.asarray(out[t])):
-            continue  # warm restart: skip before paying the input read
-        frame = np.asarray(data[t] if data.ndim == 4 else data[...])
-        labels = segment_single_volume(
-            frame.astype(np.float32), chunk_size, config, margin, fn
-        )
-        out[t] = labels.astype(np.uint32)
-        done.append(t)
     _barrier("iterseg:segment_done")
     return done
 
@@ -460,6 +440,12 @@ def multihost_accuracy_metrics(
             np.asarray(model_result),
             (gt_data.shape[0],) + model_result.shape
         )
+    elif gt_data.ndim == 3 and model_result.ndim == 3:
+        # matched-3D: promote ONCE here — the per-chunk
+        # _collect_chunk_scores calls below would otherwise re-read both
+        # full volumes from disk for every chunk
+        gt_data = np.asarray(gt_data)[None]
+        model_result = np.asarray(model_result)[None]
     template = {
         "VI: GT | Output": [],
         "VI: Output | GT": [],

@@ -41,7 +41,7 @@ from .labels import is_binary_channel as _is_binary_channel
 from .losses import make_loss_function, channel_losses
 from .train_io import load_tensor_from_zarr
 
-__all__ = ["train_unet", "TrainState"]
+__all__ = ["train_unet"]
 
 
 def _split_params(params):
@@ -50,18 +50,6 @@ def _split_params(params):
           if k.endswith(("running_mean", "running_var"))}
     trainable = {k: v for k, v in params.items() if k not in bn}
     return trainable, bn
-
-
-class TrainState:
-    def __init__(self, spec, trainable, bn_state, opt_state):
-        self.spec = spec
-        self.trainable = trainable
-        self.bn_state = bn_state
-        self.opt_state = opt_state
-
-    @property
-    def params(self):
-        return {**self.trainable, **self.bn_state}
 
 
 def _make_steps(spec, optimizer, loss_fn, chan_log_fn, n_channels,
@@ -275,7 +263,11 @@ def train_unet(
         total = 0.0
         for i in range(len(vx)):
             xb, yb = _prep(vx[i], vy[i])
-            vl, out, bn_state = val_step(trainable, bn_state, xb, yb, e)
+            # the loss epoch is PINNED at 0 for validation: the reference
+            # sets its separate v_loss object's epoch only inside
+            # `if validate and e == 0` (train.py:297-299), so epoch-
+            # weighted validation losses always use the epoch-0 weights
+            vl, out, bn_state = val_step(trainable, bn_state, xb, yb, 0)
             v_y_hats.append(np.asarray(out))
             total += float(vl)
             validation_dict["epoch"].append(e)
@@ -379,7 +371,10 @@ def train_unet(
 
 def _index_channels_if_none(channels, y):
     if channels is None:
-        c = np.asarray(y[0]).shape[0]
+        first = y[0]
+        # shape is metadata for arrays/zarr — don't read the whole chunk
+        c = (first.shape[0] if hasattr(first, "shape")
+             else np.asarray(first).shape[0])
         return tuple("channel_" + str(i) for i in range(c))
     return tuple(channels)
 

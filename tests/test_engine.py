@@ -462,3 +462,63 @@ class TestFloodVmemFallback:
         assert calls == ["xla"]
         assert labels.shape == vol.shape
         assert any("VMEM budget" in str(w.message) for w in caught)
+
+
+class TestPredictVolumeHardening:
+    """Round-3 review fixes on the legacy (batch_size=) route."""
+
+    @pytest.fixture(scope="class")
+    def small_model(self):
+        from iterseg_tpu.engine.predict import UNetModel
+        from iterseg_tpu.models.unet import UNetSpec, init_params
+
+        return UNetModel(init_params(UNetSpec(1, 5), seed=0))
+
+    def _vol(self, shape=(4, 64, 64), seed=5):
+        r = np.random.default_rng(seed)
+        return r.random(shape, dtype=np.float32)
+
+    def test_zarr_output_volume_receives_writes(self, small_model,
+                                                tmp_path):
+        """The blend loop writes through zarr-backed output volumes
+        (chained `out[sl][cr] = ...` silently wrote into copies)."""
+        from iterseg_tpu.engine.predict import predict_volume
+        from iterseg_tpu.io.zarr_io import open_zarr
+
+        vol = self._vol()
+        ref = predict_volume(small_model, vol, chunk_size=(4, 32, 32),
+                             margin=(1, 4, 4), batch_size=2)
+        store = open_zarr(tmp_path / "feat.zarr", shape=(5,) + vol.shape,
+                          chunks=(5, 4, 32, 32), dtype=np.float32)
+        predict_volume(small_model, vol, chunk_size=(4, 32, 32),
+                       margin=(1, 4, 4), output_volume=store,
+                       batch_size=2)
+        np.testing.assert_array_equal(np.asarray(store), ref)
+
+    def test_small_chunk_axes_no_crash(self, small_model):
+        """chunk axes below the ladder minima are bumped (shared
+        _valid_grid) instead of producing negative pads."""
+        from iterseg_tpu.engine.predict import predict_volume
+
+        out = predict_volume(small_model, self._vol((6, 32, 32)),
+                             chunk_size=(1, 32, 32), margin=(0, 4, 4),
+                             batch_size=2)
+        assert out.shape == (5, 6, 32, 32)
+        assert np.isfinite(out).all()
+
+    def test_4d_singleton_input(self, small_model):
+        """Legacy 4D inputs (singleton leading axes) are squeezed; real
+        batch axes are rejected loudly."""
+        from iterseg_tpu.engine.predict import predict_volume
+
+        vol = self._vol((4, 32, 32))
+        ref = predict_volume(small_model, vol, chunk_size=(4, 32, 32),
+                             margin=(1, 4, 4), batch_size=2)
+        got = predict_volume(small_model, vol[None],
+                             chunk_size=(4, 32, 32), margin=(1, 4, 4),
+                             batch_size=2)
+        np.testing.assert_array_equal(got, ref)
+        with pytest.raises(ValueError, match="zyx volume"):
+            predict_volume(small_model, np.zeros((2, 4, 32, 32),
+                                                 np.float32),
+                           batch_size=2)

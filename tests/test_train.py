@@ -360,3 +360,41 @@ class TestShardedTrainUnet:
         assert path is None
         out = model(np.zeros((1, 1) + shape, np.float32))
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestValidationEpochPinning:
+    def test_validation_uses_epoch0_weights(self, tmp_path):
+        """The reference sets its validation loss's epoch only at e == 0
+        (train.py:297-299), so epoch-weighted validation always scores
+        with the epoch-0 weight row — a 100x epoch-1 row must NOT blow up
+        the later validation losses."""
+        import pandas as pd
+        from scipy import ndimage
+        from iterseg_tpu.train.labels import get_training_labels
+
+        r = np.random.default_rng(0)
+        vol = np.zeros((4, 32, 32), np.float32)
+        for c in np.stack([r.integers(1, s - 1, size=6)
+                           for s in vol.shape], 1):
+            vol[tuple(c)] = 1.0
+        from scipy import ndimage as ndi
+        img = ndi.gaussian_filter(vol, (1, 2, 2))
+        img = img / img.max()
+        gt, _ = ndimage.label(img > 0.3)
+        chans = ("z-1", "y-1", "x-1", "mask", "centreness-log")
+        yvol = get_training_labels(gt, chans, (4, 1, 1))
+
+        w = np.ones((2, 5), np.float32)
+        w[1] *= 100.0
+        train_mod.train_unet(
+            x=[img, img], vx=[img], y=[yvol, yvol], vy=[yvol],
+            out_dir=str(tmp_path), name="ew", channels=chans, epochs=2,
+            loss_function="EpochWeightedBCE", chan_weights=w,
+            update_every=1,
+        )
+        vdf = pd.read_csv(tmp_path / "validation-loss_ew.csv")
+        assert len(vdf) == 3
+        # pinned at w[0]: the end-of-epoch-1 validation stays on the same
+        # scale as the first (it would be ~100x with w[1])
+        assert (vdf["validation_loss"].iloc[-1]
+                < 10 * vdf["validation_loss"].iloc[0])
