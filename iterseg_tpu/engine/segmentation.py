@@ -253,6 +253,7 @@ def affinity_unet_watershed(
     devices=None,
     compute_dtype=None,
     device_flood=None,
+    threaded: bool = False,
 ):
     """Segment a 3D volume or 4D stack with the affinity U-Net watershed.
 
@@ -265,7 +266,10 @@ def affinity_unet_watershed(
     bf16-operand MXU passes; labels agree with f32 statistically, not
     bitwise); ``device_flood`` — run the watershed flood on device
     (approximate wavefront flood; faster only on dense masks, see
-    benchmarks/watershed_crossover.py).
+    benchmarks/watershed_crossover.py); ``threaded`` — return a live
+    :class:`SegmentationWorker` instead of blocking (the reference GUI's
+    Qt thread_worker analog, segmentation.py:808-825; join via
+    ``.result()``). Ignored under ``debug=True``.
     """
     prep = affinity_watershed_prep_config
     if compute_dtype is not None or device_flood is not None:
@@ -287,6 +291,7 @@ def affinity_unet_watershed(
         chunk_size,
         margin,
         debug,
+        threaded=threaded,
         devices=devices,
     )
 
@@ -385,11 +390,14 @@ def dog_blob_watershed(
     debug: bool = False,
     *,
     devices=None,
+    threaded: bool = False,
 ):
     """Classical DoG blob segmentation (no NN). Signature parity with
     iterseg ``segmentation.py:548-589``, plus the keyword-only ``devices``
     TPU extension: 4D frames round-robin across the given jax devices
-    (frame parallelism, labels identical to single-device)."""
+    (frame parallelism, labels identical to single-device) and
+    ``threaded`` (return a live :class:`SegmentationWorker`; join via
+    ``.result()``)."""
     return segmentation_wrapper(
         dog_blob_watershed_for_chunks,
         dog_blob_watershed_prep_config,
@@ -402,6 +410,7 @@ def dog_blob_watershed(
         chunk_size,
         margin,
         debug,
+        threaded=threaded,
         devices=devices,
     )
 
@@ -689,6 +698,7 @@ class SegmentationWorker:
     def __init__(self, run, finish):
         self._finish = finish
         self._error = None
+        self._result_lock = threading.Lock()
 
         def target():
             try:
@@ -710,9 +720,11 @@ class SegmentationWorker:
         if self._error is not None:
             raise self._error
         # finish() has side effects (adds the napari labels layer): run it
-        # once and cache, so repeated result() calls are idempotent
-        if not hasattr(self, "_result"):
-            self._result = self._finish()
+        # once and cache, so repeated/concurrent result() calls are
+        # idempotent (the lock closes the check-then-set race)
+        with self._result_lock:
+            if not hasattr(self, "_result"):
+                self._result = self._finish()
         return self._result
 
 

@@ -129,16 +129,24 @@ class LazyImageStack:
     def __len__(self):
         return len(self.paths)
 
+    def _stack_all(self):
+        # ragged frames zero-pad to the common shape on materialisation —
+        # the same contract as the eager path (widgets.correct_shape)
+        from .widgets import correct_shape
+
+        return np.stack(correct_shape([self[j]
+                                       for j in range(len(self))]))
+
     def __getitem__(self, i):
         if isinstance(i, (int, np.integer)):
             i = int(i) % len(self.paths)
             if i not in self._cache:
                 self._cache[i] = np.squeeze(_read_any(self.paths[i]))
             return self._cache[i]
-        return np.stack([self[j] for j in range(len(self))])[i]
+        return self._stack_all()[i]
 
     def __array__(self, dtype=None, copy=None):
-        arr = np.stack([self[j] for j in range(len(self))])
+        arr = self._stack_all()
         return arr.astype(dtype) if dtype is not None else arr
 
 

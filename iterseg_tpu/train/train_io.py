@@ -40,9 +40,9 @@ __all__ = [
 ]
 
 
-def normalise_data(image):
-    """Scale values so the max is 1 (parity: train_io.py:505-515)."""
-    return image / image.max()
+# one copy of the /max normalisation (parity: train_io.py:505-515),
+# re-exported here under the reference's name
+from ..core.volume import normalise_data  # noqa: E402
 
 
 def load_tensor_from_zarr(i, ls):

@@ -91,14 +91,10 @@ def _train_from_viewer(
     ``get_train_data`` default, train_io.py:22); pass a smaller shape to
     train on volumes the fixed crop would not fit. ``None`` keeps
     reference behaviour."""
-    image_4D_stack = (
-        image_stack.data if hasattr(image_stack, "data")
-        and not isinstance(image_stack, np.ndarray) else image_stack
-    )
-    labels_4D_stack = (
-        labels_stack.data if hasattr(labels_stack, "data")
-        and not isinstance(labels_stack, np.ndarray) else labels_stack
-    )
+    from .engine.segmentation import _as_layer
+
+    image_4D_stack = _as_layer(image_stack).data
+    labels_4D_stack = _as_layer(labels_stack).data
     image_4D_stack = np.squeeze(np.asarray(image_4D_stack))
     labels_4D_stack = np.squeeze(np.asarray(labels_4D_stack))
     assert image_4D_stack.shape == labels_4D_stack.shape
@@ -270,11 +266,12 @@ def _load_data(
                                         translate=translate)
             else:
                 channel_axis = int(np.argmin(imgs.shape))
+                arr = np.asarray(imgs)  # once, not per channel
                 for channel in range(imgs.shape[channel_axis]):
                     sl = [slice(None)] * imgs.ndim
                     sl[channel_axis] = channel
                     napari_viewer.add_image(
-                        np.asarray(imgs)[tuple(sl)], scale=scale,
+                        arr[tuple(sl)], scale=scale,
                         translate=translate,
                         name=f"{layer_name}-ch{channel}",
                     )
@@ -343,6 +340,15 @@ def read_data(directory, data_file, data_type, in_memory=True):
     if single_file:
         if data_file.endswith((".tiff", ".tif")):
             data_paths = [data_file]
+        elif data_file.endswith((".zarr", ".zar")):
+            raise ValueError(
+                f"zarr stores load via directory=, not data_file=: "
+                f"{data_file!r}"
+            )
+        else:
+            raise ValueError(
+                f"data_file must be a .tif/.tiff file, got {data_file!r}"
+            )
     elif not uses_directory:
         is_zarr = directory.endswith((".zarr", ".zar"))
     else:
@@ -354,8 +360,16 @@ def read_data(directory, data_file, data_type, in_memory=True):
         if in_memory:
             imgs = np.asarray(imgs)
         return imgs, uses_directory
+    if not data_paths:
+        raise ValueError(
+            f"no .tif/.tiff/.zarr files found under {directory!r}"
+        )
     data_paths = sorted(data_paths)
-    if uses_directory and not in_memory:
+    if (uses_directory and not in_memory
+            and not (data_type == "image stacks" and len(data_paths) > 1)):
+        # lazy frame stack; t-concatenated "image stacks" can't be
+        # represented as one lazy frame-per-file view, so that mode falls
+        # through to the eager path (same shape contract either way)
         imgs = LazyImageStack(data_paths)
         return imgs, uses_directory
     imgs = [np.squeeze(_read_any(p)) for p in data_paths]
@@ -378,7 +392,6 @@ def correct_shape(imgs):
     shape_3D = np.max(shapes_3D, axis=0)
     not_max_size = [tuple(s) != tuple(shape_3D) for s in shapes_3D]
     if np.sum(not_max_size) > 0:
-        shapes = np.array([im.shape for im in imgs], dtype=object)
         final_imgs = []
         for im in imgs:
             final_shape = list(im.shape[:-3]) + list(shape_3D)
@@ -469,18 +482,18 @@ def _assess_segmentation(
     exclude_chunks_less_than: int = 10,
 ):
     """Chunkwise VI/AP/count assessment with CSVs + plots."""
+    from .engine.segmentation import _as_layer
+
     if name is None:
         name = save_prefix
-    assert save_dir is not None, (
+    # deviation (reference bug, _dock_widgets.py:800-810): the magicgui
+    # placeholder 'choose directory' must fail fast like None — the
+    # reference creates a literal './choose directory' output dir
+    assert save_dir is not None and str(save_dir) != "choose directory", (
         "Please pick a directory to which to save the data."
     )
     os.makedirs(str(save_dir), exist_ok=True)
-    if hasattr(model_segmentation, "data") and not isinstance(
-        model_segmentation, np.ndarray
-    ):
-        shape = model_segmentation.data.shape
-    else:
-        shape = np.asarray(model_segmentation).shape
+    shape = tuple(_as_layer(model_segmentation).data.shape)
     slices = get_slices_from_chunks(shape, chunk_size, margin)
     data, stats = model_assessment(
         ground_truth, model_segmentation, save_prefix, name, slices,

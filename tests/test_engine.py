@@ -286,6 +286,30 @@ class TestThreadedWorker:
         # layer when a viewer is present) runs once and is cached
         assert worker.result() is labels
 
+    def test_threaded_reachable_from_public_segmenters(self, tiny_unet):
+        """`threaded=True` is a keyword-only extension on the registry
+        segmenters themselves (not just the wrapper): callers get the
+        live worker and its labels match the synchronous path."""
+        from iterseg_tpu.engine.segmentation import (
+            SegmentationWorker,
+            affinity_unet_watershed,
+        )
+
+        vol, _ = blobby_volume(shape=(6, 32, 32))
+        kw = dict(chunk_size=(6, 32, 32), margin=(1, 4, 4))
+        golden = affinity_unet_watershed(
+            None, vol, None, "sync", tiny_unet, debug=True, **kw)
+        worker = affinity_unet_watershed(
+            None, vol, None, "thr", tiny_unet, threaded=True, **kw)
+        assert isinstance(worker, SegmentationWorker)
+        np.testing.assert_array_equal(worker.result(timeout=300), golden)
+
+        worker = dog_blob_watershed(None, vol, None, "thr-dog",
+                                    threaded=True, **kw)
+        assert isinstance(worker, SegmentationWorker)
+        labels = worker.result(timeout=300)
+        assert labels.shape == vol.shape
+
     def test_threaded_propagates_errors(self):
         from iterseg_tpu.engine.segmentation import (
             SegmentationWorker,

@@ -225,3 +225,78 @@ class TestTrainFromViewer:
         assert len(meta_files) == 1
         meta = json.load(open(tmp_path / meta_files[0]))
         assert meta["epochs"] == 1 and meta["n_each"] == 2
+
+
+class TestReadDataHardening:
+    """Round-3 review fixes: loud errors and lazy/eager contract parity."""
+
+    def test_data_file_zarr_rejected(self):
+        from iterseg_tpu.widgets import read_data
+
+        with pytest.raises(ValueError, match="directory="):
+            read_data(None, "vol.zarr", "individual frames")
+        with pytest.raises(ValueError, match=r"\.tif"):
+            read_data(None, "vol.npy", "individual frames")
+
+    def test_empty_directory_rejected(self, tmp_path):
+        from iterseg_tpu.widgets import read_data
+
+        with pytest.raises(ValueError, match="no .tif"):
+            read_data(str(tmp_path), None, "individual frames")
+
+    def test_lazy_matches_eager_contract(self, tmp_path):
+        """in_memory=False returns the same shapes as in_memory=True —
+        incl. ragged frames (zero-padded) and 'image stacks' mode."""
+        from PIL import Image
+
+        from iterseg_tpu.widgets import read_data
+
+        a = np.arange(2 * 8 * 8, dtype=np.uint16).reshape(2, 8, 8)
+        b = np.ones((2, 6, 8), np.uint16)  # ragged y
+        for name, arr in (("a.tif", a), ("b.tif", b)):
+            frames = [Image.fromarray(z) for z in arr]
+            frames[0].save(tmp_path / name, save_all=True,
+                           append_images=frames[1:])
+
+        eager, _ = read_data(str(tmp_path), None, "individual frames",
+                             in_memory=True)
+        lazy, _ = read_data(str(tmp_path), None, "individual frames",
+                            in_memory=False)
+        np.testing.assert_array_equal(np.asarray(lazy), eager)
+
+        eager_st, _ = read_data(str(tmp_path), None, "image stacks",
+                                in_memory=True)
+        lazy_st, _ = read_data(str(tmp_path), None, "image stacks",
+                               in_memory=False)
+        np.testing.assert_array_equal(np.asarray(lazy_st), eager_st)
+
+    def test_assess_placeholder_save_dir_rejected(self):
+        from iterseg_tpu.widgets import _assess_segmentation
+
+        gt = np.zeros((3, 8, 8), np.int32)
+        with pytest.raises(AssertionError, match="pick a directory"):
+            _assess_segmentation(gt, gt, save_dir="choose directory")
+        assert not os.path.exists("choose directory")
+
+
+def test_segmentation_worker_result_idempotent():
+    """Concurrent result() callers get ONE finish() invocation."""
+    import threading
+
+    from iterseg_tpu.engine.segmentation import SegmentationWorker
+
+    calls = []
+    worker = SegmentationWorker(lambda: None,
+                                lambda: calls.append(1) or "done")
+    results = []
+
+    def grab():
+        results.append(worker.result(timeout=10))
+
+    threads = [threading.Thread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == ["done"] * 8
+    assert len(calls) == 1
