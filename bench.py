@@ -28,15 +28,10 @@ import time
 
 # the session pre-imports jax, so env vars are too late — set the
 # persistent compile cache through jax.config (effective either way)
-def _enable_compile_cache():
-    import jax
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from iterseg_tpu.utils import enable_compilation_cache  # noqa: E402
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-
-_enable_compile_cache()
+enable_compilation_cache("/tmp/jax_cache")
 
 import numpy as np
 

@@ -388,6 +388,12 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # persistent XLA compile cache: a repeat CLI invocation (or a serve
+    # restart) skips the tens-of-seconds cold compile. Opt out with
+    # ITERSEG_TPU_COMPILE_CACHE="" (utils.enable_compilation_cache).
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

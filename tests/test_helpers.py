@@ -1,4 +1,6 @@
 """ID-matched dataset discovery helpers (parity: helpers.py:95-180)."""
+import os
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -92,3 +94,39 @@ def test_get_regex_images_orders_by_id(dataset_dir):
         helpers.get_regex_images(str(ddir),
                                  r"\d{6}_\d{6}_\d{1,3}_image.tif",
                                  ["999999_999999_9"])
+
+
+class TestEnableCompilationCache:
+    """utils.enable_compilation_cache resolution order + opt-out."""
+
+    def test_explicit_dir_wins_and_sets_config(self, tmp_path):
+        import jax
+
+        from iterseg_tpu.utils import enable_compilation_cache
+
+        old = jax.config.jax_compilation_cache_dir
+        try:
+            got = enable_compilation_cache(str(tmp_path / "cc"))
+            assert got == str(tmp_path / "cc")
+            assert os.path.isdir(got)
+            assert jax.config.jax_compilation_cache_dir == got
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
+
+    def test_env_var_and_opt_out(self, tmp_path, monkeypatch):
+        import jax
+
+        from iterseg_tpu.utils import enable_compilation_cache
+
+        old = jax.config.jax_compilation_cache_dir
+        try:
+            monkeypatch.setenv("ITERSEG_TPU_COMPILE_CACHE",
+                               str(tmp_path / "env_cc"))
+            assert enable_compilation_cache() == str(tmp_path / "env_cc")
+            # empty string = explicit opt-out, config untouched
+            monkeypatch.setenv("ITERSEG_TPU_COMPILE_CACHE", "")
+            before = jax.config.jax_compilation_cache_dir
+            assert enable_compilation_cache() is None
+            assert jax.config.jax_compilation_cache_dir == before
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
