@@ -56,13 +56,16 @@ def _contingency(a, b):
     return a_vals, b_vals, counts
 
 
-def variation_of_information(image0, image1):
+def variation_of_information(image0, image1, cont=None):
     """(H(image0|image1), H(image1|image0)) in bits.
 
     With GT as image0: element 0 measures under-segmentation, element 1
     over-segmentation (see iterseg ``_dock_widgets.py:731-737``).
+    ``cont`` accepts a precomputed contingency matrix (the per-chunk
+    scoring loop shares one with the IoU sweep via ``_MatchArtifacts``).
     """
-    _, _, cont = _contingency(image0, image1)
+    if cont is None:
+        _, _, cont = _contingency(image0, image1)
     n = cont.sum()
     pxy = cont / n
     px = np.asarray(pxy.sum(axis=1)).ravel()
@@ -92,32 +95,78 @@ class SegmentationMetrics:
     results: MatchResults = field(default_factory=MatchResults)
 
 
-def calculate(gt, seg, strict=True, iou_threshold=0.5):
+class _MatchArtifacts:
+    """Threshold-independent per-(gt, seg) precomputation.
+
+    ``generate_IoU_data`` sweeps ``calculate`` over 13 thresholds
+    (metrics.py:205-227 semantics); the contingency table, the
+    foreground IoU pair list, ``pixel_identity`` and per-object
+    centroids do not depend on the threshold, so computing them once per
+    chunk and filtering per threshold is bit-identical to the per-call
+    path (asserted in tests/test_metrics.py) and removes ~13 full-volume
+    passes per chunk.
+    """
+
+    def __init__(self, gt, seg):
+        self.gt = np.asarray(gt)
+        self.seg = np.asarray(seg)
+        self.a_vals, self.b_vals, self.cont = _contingency(self.gt,
+                                                           self.seg)
+        a_fg = self.a_vals != 0
+        b_fg = self.b_vals != 0
+        areas_a = np.asarray(self.cont.sum(axis=1)).ravel()
+        areas_b = np.asarray(self.cont.sum(axis=0)).ravel()
+        coo = self.cont.tocoo()
+        self.n_true = int(a_fg.sum())
+        self.n_pred = int(b_fg.sum())
+        # IoU per overlapping (gt, seg) pair (foreground only)
+        keep = a_fg[coo.row] & b_fg[coo.col]
+        self.rows = coo.row[keep]
+        self.cols = coo.col[keep]
+        inter = coo.data[keep]
+        union = areas_a[self.rows] + areas_b[self.cols] - inter
+        self.iou = inter / union
+        self.pixel_identity = float(np.mean(self.gt == self.seg))
+        self._gt_cents = {}
+        self._seg_cents = {}
+
+    def centroids(self, gt_labels, seg_labels):
+        """Centroids of the given label ids, cached per id.
+
+        ``ndi.center_of_mass`` is per-label independent, so batching the
+        cache misses yields the exact floats of a fresh matched-only call.
+        """
+        from scipy import ndimage as ndi
+
+        for cache, vol, labels in ((self._gt_cents, self.gt, gt_labels),
+                                   (self._seg_cents, self.seg,
+                                    seg_labels)):
+            missing = [lb for lb in labels if lb not in cache]
+            if missing:
+                cents = ndi.center_of_mass(np.ones_like(vol), vol, missing)
+                cache.update(zip(missing, cents))
+        return ([self._gt_cents[lb] for lb in gt_labels],
+                [self._seg_cents[lb] for lb in seg_labels])
+
+
+def calculate(gt, seg, strict=True, iou_threshold=0.5, artifacts=None):
     """umetrix-equivalent IoU matching of instance segmentations.
 
     One-to-one matching maximising total IoU (Hungarian) over pairs whose
     IoU >= threshold (``strict``); TP = matched pairs, FN = unmatched GT
-    objects, FP = unmatched predicted objects.
+    objects, FP = unmatched predicted objects. ``artifacts`` accepts a
+    ``_MatchArtifacts(gt, seg)`` to share the threshold-independent work
+    across a threshold sweep (outputs identical either way).
     """
-    gt = np.asarray(gt)
-    seg = np.asarray(seg)
-    a_vals, b_vals, cont = _contingency(gt, seg)
-    a_fg = a_vals != 0
-    b_fg = b_vals != 0
-    areas_a = np.asarray(cont.sum(axis=1)).ravel()
-    areas_b = np.asarray(cont.sum(axis=0)).ravel()
-    coo = cont.tocoo()
-    n_true = int(a_fg.sum())
-    n_pred = int(b_fg.sum())
-    # IoU per overlapping (gt, seg) pair (foreground only)
-    keep = a_fg[coo.row] & b_fg[coo.col]
-    rows = coo.row[keep]
-    cols = coo.col[keep]
-    inter = coo.data[keep]
-    union = areas_a[rows] + areas_b[cols] - inter
-    iou = inter / union
-    above = iou >= iou_threshold
-    rows, cols, iou = rows[above], cols[above], iou[above]
+    art = _MatchArtifacts(gt, seg) if artifacts is None else artifacts
+    gt = art.gt
+    seg = art.seg
+    a_vals = art.a_vals
+    b_vals = art.b_vals
+    n_true = art.n_true
+    n_pred = art.n_pred
+    above = art.iou >= iou_threshold
+    rows, cols, iou = art.rows[above], art.cols[above], art.iou[above]
     tp = 0
     matched_iou = []
     matched_pairs = []
@@ -141,21 +190,16 @@ def calculate(gt, seg, strict=True, iou_threshold=0.5):
     # localisation error: mean centroid distance of matched objects
     loc_err = 0.0
     if matched_pairs:
-        from scipy import ndimage as ndi
-
-        gt_cents = {}
-        seg_cents = {}
         gl = [int(a_vals[r]) for r, _ in matched_pairs]
         sl = [int(b_vals[c]) for _, c in matched_pairs]
-        gc = ndi.center_of_mass(np.ones_like(gt), gt, gl)
-        sc = ndi.center_of_mass(np.ones_like(seg), seg, sl)
+        gc, sc = art.centroids(gl, sl)
         loc_err = float(
             np.mean(np.linalg.norm(np.array(gc) - np.array(sc), axis=1))
         )
     results = MatchResults(
         IoU=float(np.mean(matched_iou)) if matched_iou else 0.0,
         Jaccard=tp / (tp + fp + fn) if (tp + fp + fn) else 0.0,
-        pixel_identity=float(np.mean(gt == seg)),
+        pixel_identity=art.pixel_identity,
         localization_error=loc_err,
     )
     return SegmentationMetrics(
@@ -241,14 +285,17 @@ def _collect_chunk_scores(slices, gt_data, model_result, VI=True, AP=True,
         n_objects = np.unique(gt).size
         if n_objects > exclude_chunks + 1:
             mr = np.squeeze(np.asarray(model_result[s_]))[c_]
+            # one contingency/IoU precomputation shared by VI, the
+            # 13-threshold sweep and the object counts (bit-identical)
+            art = _MatchArtifacts(gt, mr)
             if VI:
-                vi = variation_of_information(gt, mr)
+                vi = variation_of_information(gt, mr, cont=art.cont)
                 scores["VI: GT | Output"].append(vi[0])
                 scores["VI: Output | GT"].append(vi[1])
             if AP:
-                generate_IoU_data(gt, mr, scores)
+                generate_IoU_data(gt, mr, scores, artifacts=art)
             if ND:
-                n_mr = np.unique(mr).size
+                n_mr = art.b_vals.size
                 nd = n_mr - n_objects
                 scores["Count difference (%)"].append(nd / n_objects * 100)
                 scores["Number objects (GT)"].append(n_objects)
@@ -345,9 +392,13 @@ def generate_IoU_dict(thresholds=THRESHOLDS):
     return IoU_dict
 
 
-def generate_IoU_data(gt, seg, IoU_dict, thresholds=THRESHOLDS):
+def generate_IoU_data(gt, seg, IoU_dict, thresholds=THRESHOLDS,
+                      artifacts=None):
+    if artifacts is None:
+        artifacts = _MatchArtifacts(gt, seg)
     for t in thresholds:
-        result = calculate(gt, seg, strict=True, iou_threshold=t)
+        result = calculate(gt, seg, strict=True, iou_threshold=t,
+                           artifacts=artifacts)
         IoU_dict[f"t{t}_true_positives"].append(result.n_true_positives)
         IoU_dict[f"t{t}_false_positives"].append(result.n_false_positives)
         IoU_dict[f"t{t}_false_negatives"].append(result.n_false_negatives)

@@ -260,3 +260,59 @@ class TestAffinitySumGraph:
             for ax in range(3)
         )
         np.testing.assert_allclose(res[2], expect, rtol=1e-12)
+
+
+class TestMatchArtifactsExactness:
+    """The per-chunk shared precomputation (_MatchArtifacts) must be
+    bit-identical to per-call computation across the threshold sweep —
+    the whole point is removing redundant passes, not changing outputs."""
+
+    @pytest.fixture
+    def noisy_pair(self):
+        from scipy import ndimage as ndi
+
+        r = np.random.default_rng(3)
+        vol = np.zeros((16, 48, 48), np.float32)
+        pts = np.stack([r.integers(2, s - 2, size=120)
+                        for s in vol.shape], 1)
+        vol[tuple(pts.T)] = 1.0
+        vol = ndi.gaussian_filter(vol, (1, 2, 2))
+        gt, _ = ndi.label(vol > 0.6 * vol.max())
+        seg, _ = ndi.label(vol > 0.5 * vol.max())
+        return gt, seg
+
+    def test_calculate_identical_with_shared_artifacts(self, noisy_pair):
+        from iterseg_tpu.eval.metrics import (THRESHOLDS, _MatchArtifacts,
+                                              calculate)
+
+        gt, seg = noisy_pair
+        art = _MatchArtifacts(gt, seg)
+        for t in THRESHOLDS:
+            fresh = calculate(gt, seg, iou_threshold=t)
+            shared = calculate(gt, seg, iou_threshold=t, artifacts=art)
+            for f in ("n_true_labels", "n_pred_labels",
+                      "n_true_positives", "n_false_positives",
+                      "n_false_negatives"):
+                assert getattr(fresh, f) == getattr(shared, f), (t, f)
+            for f in ("IoU", "Jaccard", "pixel_identity",
+                      "localization_error"):
+                assert getattr(fresh.results, f) == getattr(
+                    shared.results, f), (t, f)
+
+    def test_vi_identical_with_shared_contingency(self, noisy_pair):
+        from iterseg_tpu.eval.metrics import (_MatchArtifacts,
+                                              variation_of_information)
+
+        gt, seg = noisy_pair
+        art = _MatchArtifacts(gt, seg)
+        np.testing.assert_array_equal(
+            variation_of_information(gt, seg),
+            variation_of_information(gt, seg, cont=art.cont))
+
+    def test_nd_count_matches_unique(self, noisy_pair):
+        from iterseg_tpu.eval.metrics import _MatchArtifacts
+
+        gt, seg = noisy_pair
+        art = _MatchArtifacts(gt, seg)
+        assert art.b_vals.size == np.unique(seg).size
+        assert art.a_vals.size == np.unique(gt).size
