@@ -43,37 +43,113 @@ THRESHOLDS = (0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8,
               0.85, 0.9)
 
 
+def _unique_inverse(flat):
+    """``np.unique(flat, return_inverse=True)`` with an O(n) lookup-table
+    fast path for non-negative integer labels of bounded range (the
+    instance-label case) — identical values/inverse, no O(n log n)
+    argsort."""
+    if flat.dtype.kind in "iu" and flat.size:
+        mn = int(flat.min())
+        mx = int(flat.max())
+        if mn >= 0 and mx < max(8 * flat.size, 1 << 20):
+            present = np.bincount(flat.ravel(), minlength=mx + 1) > 0
+            vals = np.flatnonzero(present)
+            lut = np.zeros(mx + 1, np.int64)
+            lut[vals] = np.arange(vals.size)
+            return vals.astype(flat.dtype), lut[flat]
+    return np.unique(flat, return_inverse=True)
+
+
+def _n_unique(arr):
+    """``np.unique(arr).size`` with the same O(n) fast path as
+    ``_unique_inverse``."""
+    flat = np.asarray(arr).ravel()
+    if flat.dtype.kind in "iu" and flat.size:
+        mn = int(flat.min())
+        mx = int(flat.max())
+        if mn >= 0 and mx < max(8 * flat.size, 1 << 20):
+            return int(np.count_nonzero(
+                np.bincount(flat, minlength=mx + 1)))
+    return np.unique(flat).size
+
+
+class _Pairs:
+    """Contingency table of two flattened label volumes, as row-major
+    sorted (row, col, count) triples — the dense-key bincount equivalent
+    of the previous ``scipy.sparse`` build, bit-identical reductions
+    (counts are integer-valued f64, so sums are exact in any order; the
+    VI probability sums below keep the same row-major element order as
+    CSR axis sums, asserted against a literal sparse reimplementation in
+    tests/test_metrics.py)."""
+
+    def __init__(self, a, b):
+        a = np.asarray(a).ravel()
+        b = np.asarray(b).ravel()
+        self.a_vals, a_inv = _unique_inverse(a)
+        self.b_vals, b_inv = _unique_inverse(b)
+        na = self.a_vals.size
+        nb = self.b_vals.size
+        key = a_inv * nb + b_inv
+        if na * nb <= max(4 * a.size, 1 << 22):
+            counts = np.bincount(key, minlength=na * nb)
+            nz = np.flatnonzero(counts)
+            self.rows, self.cols = np.divmod(nz, nb)
+            self.data = counts[nz].astype(np.float64)
+        else:
+            # degenerate label-count blowup: sort the pair keys instead
+            # of materialising the dense na*nb histogram
+            skey = np.sort(key)
+            edge = np.flatnonzero(np.diff(skey)) + 1
+            starts = np.concatenate(([0], edge))
+            uniq = skey[starts]
+            self.rows, self.cols = np.divmod(uniq, nb)
+            self.data = np.diff(
+                np.concatenate((starts, [skey.size]))
+            ).astype(np.float64)
+        self.n = a.size
+
+    def row_sums(self):
+        return np.bincount(self.rows, weights=self.data,
+                           minlength=self.a_vals.size)
+
+    def col_sums(self):
+        return np.bincount(self.cols, weights=self.data,
+                           minlength=self.b_vals.size)
+
+
 def _contingency(a, b):
-    """Sparse contingency counts over flattened label volumes."""
-    a = np.asarray(a).ravel()
-    b = np.asarray(b).ravel()
-    a_vals, a_inv = np.unique(a, return_inverse=True)
-    b_vals, b_inv = np.unique(b, return_inverse=True)
+    """(a_vals, b_vals, sparse CSR counts) over flattened label volumes
+    (kept for callers wanting a matrix; the hot paths use ``_Pairs``)."""
+    p = _Pairs(a, b)
     counts = sparse.coo_matrix(
-        (np.ones(a.size), (a_inv, b_inv)),
-        shape=(a_vals.size, b_vals.size),
+        (p.data, (p.rows, p.cols)),
+        shape=(p.a_vals.size, p.b_vals.size),
     ).tocsr()
-    return a_vals, b_vals, counts
+    return p.a_vals, p.b_vals, counts
 
 
-def variation_of_information(image0, image1, cont=None):
+def variation_of_information(image0, image1, pairs=None):
     """(H(image0|image1), H(image1|image0)) in bits.
 
     With GT as image0: element 0 measures under-segmentation, element 1
     over-segmentation (see iterseg ``_dock_widgets.py:731-737``).
-    ``cont`` accepts a precomputed contingency matrix (the per-chunk
-    scoring loop shares one with the IoU sweep via ``_MatchArtifacts``).
+    ``pairs`` accepts a precomputed ``_Pairs`` (the per-chunk scoring
+    loop shares one with the IoU sweep via ``_MatchArtifacts``).
     """
-    if cont is None:
-        _, _, cont = _contingency(image0, image1)
-    n = cont.sum()
-    pxy = cont / n
-    px = np.asarray(pxy.sum(axis=1)).ravel()
-    py = np.asarray(pxy.sum(axis=0)).ravel()
-    coo = pxy.tocoo()
-    vals = coo.data
-    h0g1 = -np.sum(vals * (np.log2(vals) - np.log2(py[coo.col])))
-    h1g0 = -np.sum(vals * (np.log2(vals) - np.log2(px[coo.row])))
+    if pairs is None:
+        pairs = _Pairs(image0, image1)
+    # reciprocal-multiply, not true division: scipy.sparse (and skimage's
+    # VI built on it) scale by `* (1/n)`, and bit-compat with the prior
+    # sparse implementation pins that rounding
+    vals = pairs.data * (1.0 / pairs.n)
+    # px/py: probability-mass sums per row/col in row-major element
+    # order — the same grouping and order as the former CSR axis sums
+    px = np.bincount(pairs.rows, weights=vals,
+                     minlength=pairs.a_vals.size)
+    py = np.bincount(pairs.cols, weights=vals,
+                     minlength=pairs.b_vals.size)
+    h0g1 = -np.sum(vals * (np.log2(vals) - np.log2(py[pairs.cols])))
+    h1g0 = -np.sum(vals * (np.log2(vals) - np.log2(px[pairs.rows])))
     return np.array([h0g1, h1g0])
 
 
@@ -95,6 +171,27 @@ class SegmentationMetrics:
     results: MatchResults = field(default_factory=MatchResults)
 
 
+def _centroid_table(vol, vals):
+    """{label id -> centroid tuple} for every value in sorted ``vals``.
+
+    One ``bincount(weights=axis coordinate)`` per axis; exact-integer f64
+    sums make the result bit-equal to per-label ``ndi.center_of_mass``
+    (asserted in tests/test_metrics.py).
+    """
+    flat = vol.ravel()
+    inv = np.searchsorted(vals, flat)  # vals is sorted-unique over vol
+    counts = np.bincount(inv, minlength=vals.size).astype(np.float64)
+    idx = np.arange(flat.size, dtype=np.int64)
+    axis_sums = []
+    for ax, size in enumerate(vol.shape):
+        stride = int(np.prod(vol.shape[ax + 1:], dtype=np.int64))
+        coord = (idx // stride) % size
+        axis_sums.append(np.bincount(inv, weights=coord,
+                                     minlength=vals.size))
+    cents = np.stack(axis_sums, axis=1) / counts[:, None]
+    return {int(v): tuple(c) for v, c in zip(vals, cents)}
+
+
 class _MatchArtifacts:
     """Threshold-independent per-(gt, seg) precomputation.
 
@@ -110,41 +207,39 @@ class _MatchArtifacts:
     def __init__(self, gt, seg):
         self.gt = np.asarray(gt)
         self.seg = np.asarray(seg)
-        self.a_vals, self.b_vals, self.cont = _contingency(self.gt,
-                                                           self.seg)
+        self.pairs = _Pairs(self.gt, self.seg)
+        self.a_vals = self.pairs.a_vals
+        self.b_vals = self.pairs.b_vals
         a_fg = self.a_vals != 0
         b_fg = self.b_vals != 0
-        areas_a = np.asarray(self.cont.sum(axis=1)).ravel()
-        areas_b = np.asarray(self.cont.sum(axis=0)).ravel()
-        coo = self.cont.tocoo()
+        areas_a = self.pairs.row_sums()
+        areas_b = self.pairs.col_sums()
         self.n_true = int(a_fg.sum())
         self.n_pred = int(b_fg.sum())
         # IoU per overlapping (gt, seg) pair (foreground only)
-        keep = a_fg[coo.row] & b_fg[coo.col]
-        self.rows = coo.row[keep]
-        self.cols = coo.col[keep]
-        inter = coo.data[keep]
+        keep = a_fg[self.pairs.rows] & b_fg[self.pairs.cols]
+        self.rows = self.pairs.rows[keep]
+        self.cols = self.pairs.cols[keep]
+        inter = self.pairs.data[keep]
         union = areas_a[self.rows] + areas_b[self.cols] - inter
         self.iou = inter / union
         self.pixel_identity = float(np.mean(self.gt == self.seg))
-        self._gt_cents = {}
-        self._seg_cents = {}
+        self._gt_cents = None
+        self._seg_cents = None
 
     def centroids(self, gt_labels, seg_labels):
-        """Centroids of the given label ids, cached per id.
+        """Centroids of the given label ids (all labels tabulated once).
 
-        ``ndi.center_of_mass`` is per-label independent, so batching the
-        cache misses yields the exact floats of a fresh matched-only call.
+        Bit-identical to ``ndi.center_of_mass(np.ones_like(v), v, ids)``:
+        a centroid is a mean of integer coordinates, and every partial sum
+        is an integer far below 2^53, so the f64 sums are exact regardless
+        of summation order — one bincount pass per axis replaces a full
+        labeled comprehension per ``calculate`` call (the former hot spot
+        of the assess loop).
         """
-        from scipy import ndimage as ndi
-
-        for cache, vol, labels in ((self._gt_cents, self.gt, gt_labels),
-                                   (self._seg_cents, self.seg,
-                                    seg_labels)):
-            missing = [lb for lb in labels if lb not in cache]
-            if missing:
-                cents = ndi.center_of_mass(np.ones_like(vol), vol, missing)
-                cache.update(zip(missing, cents))
+        if self._gt_cents is None:
+            self._gt_cents = _centroid_table(self.gt, self.a_vals)
+            self._seg_cents = _centroid_table(self.seg, self.b_vals)
         return ([self._gt_cents[lb] for lb in gt_labels],
                 [self._seg_cents[lb] for lb in seg_labels])
 
@@ -282,14 +377,14 @@ def _collect_chunk_scores(slices, gt_data, model_result, VI=True, AP=True,
         model_result = np.asarray(model_result)[None]
     for s_, c_ in slices:
         gt = np.squeeze(np.asarray(gt_data[s_]))[c_]
-        n_objects = np.unique(gt).size
+        n_objects = _n_unique(gt)
         if n_objects > exclude_chunks + 1:
             mr = np.squeeze(np.asarray(model_result[s_]))[c_]
             # one contingency/IoU precomputation shared by VI, the
             # 13-threshold sweep and the object counts (bit-identical)
             art = _MatchArtifacts(gt, mr)
             if VI:
-                vi = variation_of_information(gt, mr, cont=art.cont)
+                vi = variation_of_information(gt, mr, pairs=art.pairs)
                 scores["VI: GT | Output"].append(vi[0])
                 scores["VI: Output | GT"].append(vi[1])
             if AP:

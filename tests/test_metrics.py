@@ -307,7 +307,57 @@ class TestMatchArtifactsExactness:
         art = _MatchArtifacts(gt, seg)
         np.testing.assert_array_equal(
             variation_of_information(gt, seg),
-            variation_of_information(gt, seg, cont=art.cont))
+            variation_of_information(gt, seg, pairs=art.pairs))
+
+    def test_vi_bit_equals_sparse_reference(self, noisy_pair):
+        """The bincount contingency must reproduce the scipy.sparse CSR
+        implementation bit-for-bit (the probability sums keep the same
+        row-major element order as CSR axis sums)."""
+        from scipy import sparse
+
+        from iterseg_tpu.eval.metrics import variation_of_information
+
+        def sparse_vi(image0, image1):
+            a = np.asarray(image0).ravel()
+            b = np.asarray(image1).ravel()
+            a_vals, a_inv = np.unique(a, return_inverse=True)
+            b_vals, b_inv = np.unique(b, return_inverse=True)
+            cont = sparse.coo_matrix(
+                (np.ones(a.size), (a_inv, b_inv)),
+                shape=(a_vals.size, b_vals.size)).tocsr()
+            n = cont.sum()
+            pxy = cont / n
+            px = np.asarray(pxy.sum(axis=1)).ravel()
+            py = np.asarray(pxy.sum(axis=0)).ravel()
+            coo = pxy.tocoo()
+            vals = coo.data
+            h0g1 = -np.sum(vals * (np.log2(vals) - np.log2(py[coo.col])))
+            h1g0 = -np.sum(vals * (np.log2(vals) - np.log2(px[coo.row])))
+            return np.array([h0g1, h1g0])
+
+        gt, seg = noisy_pair
+        np.testing.assert_array_equal(variation_of_information(gt, seg),
+                                      sparse_vi(gt, seg))
+        # non-contiguous label ids exercise the unique/LUT fast path
+        gt2 = (gt.astype(np.int64) * 7 + (gt > 0) * 3)
+        np.testing.assert_array_equal(
+            variation_of_information(gt2, seg), sparse_vi(gt2, seg))
+
+    def test_unique_inverse_fast_path_matches_numpy(self):
+        from iterseg_tpu.eval.metrics import _n_unique, _unique_inverse
+
+        r = np.random.default_rng(5)
+        for arr in (r.integers(0, 40, size=500).astype(np.int32),
+                    r.integers(0, 3, size=7).astype(np.uint16),
+                    np.zeros(9, np.int32),
+                    r.integers(-5, 40, size=500),      # negative: fallback
+                    r.random(100)):                    # float: fallback
+            vals, inv = _unique_inverse(arr.ravel())
+            ref_vals, ref_inv = np.unique(arr.ravel(),
+                                          return_inverse=True)
+            np.testing.assert_array_equal(vals, ref_vals)
+            np.testing.assert_array_equal(inv, ref_inv)
+            assert _n_unique(arr) == ref_vals.size
 
     def test_nd_count_matches_unique(self, noisy_pair):
         from iterseg_tpu.eval.metrics import _MatchArtifacts
@@ -316,3 +366,48 @@ class TestMatchArtifactsExactness:
         art = _MatchArtifacts(gt, seg)
         assert art.b_vals.size == np.unique(seg).size
         assert art.a_vals.size == np.unique(gt).size
+
+    def test_centroid_table_bit_equals_scipy(self):
+        from iterseg_tpu.eval.metrics import _centroid_table
+
+        r = np.random.default_rng(1)
+        vol = r.integers(0, 30, size=(7, 33, 21)).astype(np.int32)
+        vals = np.unique(vol)
+        table = _centroid_table(vol, vals)
+        ids = [int(v) for v in vals if v != 0]
+        ref = ndi.center_of_mass(np.ones_like(vol), vol, ids)
+        for lb, rc in zip(ids, ref):
+            assert table[lb] == tuple(rc)
+
+    def test_localization_error_bit_equals_scipy_path(self, noisy_pair):
+        """loc_err through the bincount centroid table equals a literal
+        matched-only ndi.center_of_mass recomputation."""
+        from iterseg_tpu.eval.metrics import calculate
+
+        gt, seg = noisy_pair
+        res = calculate(gt, seg, iou_threshold=0.3)
+        if res.n_true_positives == 0:
+            pytest.skip("fixture produced no matches")
+        # recompute literally: redo the matching to recover the pairs
+        from iterseg_tpu.eval.metrics import _MatchArtifacts
+        from scipy.optimize import linear_sum_assignment
+
+        art = _MatchArtifacts(gt, seg)
+        above = art.iou >= 0.3
+        rows, cols, iou = art.rows[above], art.cols[above], art.iou[above]
+        ur, uc = np.unique(rows), np.unique(cols)
+        rmap = {v: i for i, v in enumerate(ur)}
+        cmap = {v: i for i, v in enumerate(uc)}
+        mat = np.zeros((len(ur), len(uc)))
+        for rr, cc, v in zip(rows, cols, iou):
+            mat[rmap[rr], cmap[cc]] = v
+        ri, ci = linear_sum_assignment(-mat)
+        pairs = [(ur[a], uc[b]) for a, b in zip(ri, ci)
+                 if mat[a, b] >= 0.3]
+        gl = [int(art.a_vals[a]) for a, _ in pairs]
+        sl = [int(art.b_vals[b]) for _, b in pairs]
+        gc = ndi.center_of_mass(np.ones_like(gt), gt, gl)
+        sc = ndi.center_of_mass(np.ones_like(seg), seg, sl)
+        lit = float(np.mean(np.linalg.norm(
+            np.array(gc) - np.array(sc), axis=1)))
+        assert res.results.localization_error == lit
