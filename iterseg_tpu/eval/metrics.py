@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -85,8 +86,10 @@ class _Pairs:
     def __init__(self, a, b):
         a = np.asarray(a).ravel()
         b = np.asarray(b).ravel()
-        self.a_vals, a_inv = _unique_inverse(a)
-        self.b_vals, b_inv = _unique_inverse(b)
+        self.a_vals, self.a_inv = _unique_inverse(a)
+        self.b_vals, self.b_inv = _unique_inverse(b)
+        a_inv = self.a_inv
+        b_inv = self.b_inv
         na = self.a_vals.size
         nb = self.b_vals.size
         key = a_inv * nb + b_inv
@@ -171,21 +174,30 @@ class SegmentationMetrics:
     results: MatchResults = field(default_factory=MatchResults)
 
 
-def _centroid_table(vol, vals):
+def _centroid_table(vol, vals, inv=None, counts=None):
     """{label id -> centroid tuple} for every value in sorted ``vals``.
 
     One ``bincount(weights=axis coordinate)`` per axis; exact-integer f64
     sums make the result bit-equal to per-label ``ndi.center_of_mass``
-    (asserted in tests/test_metrics.py).
+    (asserted in tests/test_metrics.py). ``inv``/``counts`` accept the
+    label inverse and per-label voxel counts when the caller already has
+    them (``_MatchArtifacts`` reuses the ``_Pairs`` inverse and the
+    contingency row sums — integer-valued f64, so identical values).
     """
-    flat = vol.ravel()
-    inv = np.searchsorted(vals, flat)  # vals is sorted-unique over vol
-    counts = np.bincount(inv, minlength=vals.size).astype(np.float64)
-    idx = np.arange(flat.size, dtype=np.int64)
+    if inv is None:
+        # vals is sorted-unique over vol
+        inv = np.searchsorted(vals, vol.ravel())
+    if counts is None:
+        counts = np.bincount(inv, minlength=vals.size).astype(np.float64)
     axis_sums = []
     for ax, size in enumerate(vol.shape):
-        stride = int(np.prod(vol.shape[ax + 1:], dtype=np.int64))
-        coord = (idx // stride) % size
+        rs = [1] * vol.ndim
+        rs[ax] = size
+        # broadcast view of the per-axis coordinate; integer-valued f64
+        # weights sum exactly, matching the former int64 // % coordinates
+        coord = np.broadcast_to(
+            np.arange(size, dtype=np.float64).reshape(rs), vol.shape
+        ).ravel()
         axis_sums.append(np.bincount(inv, weights=coord,
                                      minlength=vals.size))
     cents = np.stack(axis_sums, axis=1) / counts[:, None]
@@ -214,6 +226,8 @@ class _MatchArtifacts:
         b_fg = self.b_vals != 0
         areas_a = self.pairs.row_sums()
         areas_b = self.pairs.col_sums()
+        self._areas_a = areas_a
+        self._areas_b = areas_b
         self.n_true = int(a_fg.sum())
         self.n_pred = int(b_fg.sum())
         # IoU per overlapping (gt, seg) pair (foreground only)
@@ -238,8 +252,12 @@ class _MatchArtifacts:
         of the assess loop).
         """
         if self._gt_cents is None:
-            self._gt_cents = _centroid_table(self.gt, self.a_vals)
-            self._seg_cents = _centroid_table(self.seg, self.b_vals)
+            self._gt_cents = _centroid_table(
+                self.gt, self.a_vals,
+                inv=self.pairs.a_inv, counts=self._areas_a)
+            self._seg_cents = _centroid_table(
+                self.seg, self.b_vals,
+                inv=self.pairs.b_inv, counts=self._areas_b)
         return ([self._gt_cents[lb] for lb in gt_labels],
                 [self._seg_cents[lb] for lb in seg_labels])
 
@@ -266,14 +284,12 @@ def calculate(gt, seg, strict=True, iou_threshold=0.5, artifacts=None):
     matched_iou = []
     matched_pairs = []
     if len(iou):
-        # dense assignment over the (small) candidate submatrix
-        ur = np.unique(rows)
-        uc = np.unique(cols)
-        rmap = {v: i for i, v in enumerate(ur)}
-        cmap = {v: i for i, v in enumerate(uc)}
+        # dense assignment over the (small) candidate submatrix;
+        # (row, col) pairs are unique so the scatter has no collisions
+        ur, rinv = np.unique(rows, return_inverse=True)
+        uc, cinv = np.unique(cols, return_inverse=True)
         mat = np.zeros((len(ur), len(uc)))
-        for r, c, v in zip(rows, cols, iou):
-            mat[rmap[r], cmap[c]] = v
+        mat[rinv, cinv] = iou
         ri, ci = linear_sum_assignment(-mat)
         for r, c in zip(ri, ci):
             if mat[r, c] >= iou_threshold:
@@ -442,6 +458,26 @@ def _layer_data(obj, lazy=False):
     return np.asarray(obj)
 
 
+@lru_cache(maxsize=None)
+def _t_quantiles(alpha, df):
+    """Standard-t interval quantiles, cached per degrees-of-freedom (the
+    expensive ``t.ppf`` is df-only; loc/scale are applied as scipy does:
+    ``_ppf(q, df) * scale + loc``)."""
+    return stats.t.interval(alpha, df)
+
+
+def _t_interval(alpha, df, loc, scale):
+    """``stats.t.interval(alpha, df, loc, scale)`` bit-exactly, with the
+    df-dependent quantiles cached (asserted against scipy in
+    tests/test_metrics.py, incl. the scale<=0 -> nan domain rule)."""
+    if not scale > 0:
+        # scipy's domain check: scale <= 0 (incl. 0 from a constant
+        # column) or nan yields the bad value for both ends
+        return (np.nan, np.nan)
+    qlo, qhi = _t_quantiles(alpha, int(df))
+    return (qlo * scale + loc, qhi * scale + loc)
+
+
 def single_sample_stats(df, columns, name):
     """Mean/SEM/95% t-CI per metric column (parity: metrics.py:145-160)."""
     results = {}
@@ -449,8 +485,11 @@ def single_sample_stats(df, columns, name):
     for c in columns:
         vals = df[c].values
         sample_mean = np.mean(vals)
-        sample_sem = stats.sem(vals)
-        CI = stats.t.interval(alpha, vals.size - 1, sample_mean, sample_sem)
+        # literal scipy.stats.sem (std(ddof=1)/sqrt(n)) without the
+        # nan-policy wrapper overhead; bit-equality asserted in
+        # tests/test_metrics.py
+        sample_sem = np.std(vals, ddof=1) / np.sqrt(vals.size)
+        CI = _t_interval(alpha, vals.size - 1, sample_mean, sample_sem)
         n = str(c) + "_"
         results[n + "mean"] = [sample_mean]
         results[n + "sem"] = [sample_sem]

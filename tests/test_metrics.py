@@ -411,3 +411,52 @@ class TestMatchArtifactsExactness:
         lit = float(np.mean(np.linalg.norm(
             np.array(gc) - np.array(sc), axis=1)))
         assert res.results.localization_error == lit
+
+    def test_t_interval_bit_equals_scipy(self):
+        """The cached-quantile t-CI must reproduce scipy.stats.t.interval
+        bit-for-bit, including the scale<=0/nan domain rule and df=0."""
+        from scipy import stats
+
+        from iterseg_tpu.eval.metrics import _t_interval
+
+        r = np.random.default_rng(3)
+        cases = [(df, loc, scale)
+                 for df in (1, 2, 7, 12, 100)
+                 for loc, scale in zip(r.normal(size=4),
+                                       np.abs(r.normal(size=4)) + 1e-6)]
+        cases += [(5, 0.3, 0.0), (5, 0.3, np.nan), (0, 1.0, 1.0),
+                  (5, np.nan, 1.0)]
+        for df, loc, scale in cases:
+            ref = stats.t.interval(0.95, df, loc, scale)
+            got = _t_interval(0.95, df, loc, scale)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_single_sample_stats_bit_equals_literal_scipy(self):
+        """single_sample_stats equals the reference's literal
+        sem + t.interval computation, incl. a constant column (sem=0)
+        and a nan-bearing column."""
+        import pandas as pd
+        from scipy import stats
+
+        from iterseg_tpu.eval.metrics import single_sample_stats
+
+        r = np.random.default_rng(4)
+        df = pd.DataFrame({
+            "a": r.normal(size=9),
+            "b": np.full(9, 2.5),               # sem == 0 -> nan CI
+            "c": np.concatenate([r.normal(size=8), [np.nan]]),
+        })
+        out = single_sample_stats(df, ["a", "b", "c"], "m")
+        for c in ["a", "b", "c"]:
+            vals = df[c].values
+            mean = np.mean(vals)
+            sem = stats.sem(vals)
+            ci = stats.t.interval(0.95, vals.size - 1, mean, sem)
+            np.testing.assert_array_equal(
+                out[f"{c}_mean"].values, [mean])
+            np.testing.assert_array_equal(
+                out[f"{c}_sem"].values, [sem])
+            np.testing.assert_array_equal(
+                out[f"{c}_95pcntCI_2-5pcnt"].values, [ci[0]])
+            np.testing.assert_array_equal(
+                out[f"{c}_95pcntCI_97-5pcnt"].values, [ci[1]])
