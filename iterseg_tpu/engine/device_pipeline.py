@@ -154,6 +154,40 @@ def _cached_crop_cast(pshape, wide):
     return _GATHER_CACHE[key]
 
 
+def _cached_dog_flood(pshape, cap, wide):
+    """Device program for the DoG pipeline's ``device_flood`` mode: the
+    mask (bit-packed) and squared EDT are ALREADY device-resident outputs
+    of the main DoG program, so only the ``cap`` zero-padded seed
+    coordinate/label rows upload (the inert-zero scatter of
+    ``_cached_flood_prep``); the approximate image-watershed recurrence
+    (``ops/device_flood.wavefront_image_flood_jit`` — the node-keyed
+    flood of the reference's ``watershed(-edt, markers, mask)``) runs on
+    ``-sqrt(EDT²)`` and only the wire-dtype labels come back."""
+    key = ("dog_flood", pshape, cap, bool(wide))
+    if key not in _GATHER_CACHE:
+        from ..ops.device_flood import wavefront_image_flood_jit
+
+        psize = int(np.prod(pshape))
+        dtype = jnp.int32 if wide else jnp.uint16
+
+        @jax.jit
+        def fn(bits, dist_sq, coords, labs):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits MSB
+            flat = ((bits[:, None] >> shifts) & 1).reshape(-1)[:psize]
+            mask = flat.astype(bool).reshape(pshape)
+            seeds = jnp.zeros(pshape, jnp.int32).at[
+                coords[:, 0], coords[:, 1], coords[:, 2]
+            ].max(labs)
+            values = -jnp.sqrt(dist_sq.astype(jnp.float32))
+            lab, _it, conv = wavefront_image_flood_jit(
+                values, seeds, mask, mode="claim", max_iters=512
+            )
+            return lab.astype(dtype), conv
+
+        _GATHER_CACHE[key] = fn
+    return _GATHER_CACHE[key]
+
+
 def _prepare_frame(raw):
     """Shared per-frame input contract of the 4D stack paths: returns
     ``(vol, kept, device_normalize)``.
@@ -903,12 +937,22 @@ class DoGPipeline:
     """
 
     def __init__(self, min_sigma=1, max_sigma=1.5, threshold=0.02,
-                 sigma_ratio=1.6, cand_capacity: int = _CAND_CAP):
+                 sigma_ratio=1.6, cand_capacity: int = _CAND_CAP,
+                 device_flood=False):
         self.min_sigma = float(min_sigma)
         self.max_sigma = float(max_sigma)
         self.threshold = float(threshold)
         self.sigma_ratio = float(sigma_ratio)
         self.cand_capacity = cand_capacity
+        # opt-in approximate on-device EDT watershed (XLA recurrence; the
+        # Pallas image kernel does not exist yet — only "xla"). The
+        # default stays the exact host flood: bit-matching labels are the
+        # parity contract, and the wire cost inverts only on >=PCIe links
+        # (see benchmarks/RESULTS.md, watershed engineering curve).
+        if device_flood is True:
+            device_flood = "xla"
+        assert device_flood in (False, "xla"), device_flood
+        self.device_flood = device_flood
         k = int(np.log(self.max_sigma / self.min_sigma)
                 / np.log(self.sigma_ratio) + 1)
         self.sigma_list = np.array(
@@ -1060,9 +1104,15 @@ class DoGPipeline:
         t0 = _time.perf_counter()
         pshape = tuple(s + 2 for s in zyx)
         nvox = int(np.prod(pshape))
-        mask = np.unpackbits(np.asarray(mask_packed))[:nvox].view(
-            np.bool_
-        ).reshape(pshape)
+        if self.device_flood:
+            # the flood mask stays device-resident (the device flood
+            # reads the packed bits directly); unpack on host only on
+            # the non-convergence fallback below
+            mask = None
+        else:
+            mask = np.unpackbits(np.asarray(mask_packed))[:nvox].view(
+                np.bool_
+            ).reshape(pshape)
         n_cand = int(n_cand)
         k = len(self.sigma_list) - 1
         cube_shape = pshape + (k,)
@@ -1090,24 +1140,33 @@ class DoGPipeline:
         coords4 = np.stack(np.unravel_index(idx_sorted, cube_shape), axis=1)
         t0 = tick("download", t0)
 
-        # dispatch the masked EDT gather now and let its D2H copy run
-        # underneath the host blob pruning (the flood only reads distances
-        # at masked voxels; the mask is already final here)
-        mask_w = np.pad(mask, 1, constant_values=False)
-        masked_idx = np.flatnonzero(mask_w.ravel()).astype(np.int32)
-        m = len(masked_idx)
-        capacity = _pick_capacity("flat", m, mask_w.size)
-        # map flood-frame indices back to device (pshape) indices
-        wshape = mask_w.shape
-        c = np.stack(np.unravel_index(masked_idx, wshape), axis=1) - 1
-        dev_idx = np.ravel_multi_index(tuple(c.T), pshape).astype(np.int32)
-        idx_up = np.zeros(capacity, np.int32)
-        idx_up[:m] = dev_idx
-        vals_dev = self._gather_fn(capacity)(dist_sq, jnp.asarray(idx_up))
-        try:
-            vals_dev.copy_to_host_async()
-        except AttributeError:
-            pass
+        def dispatch_gather(mask):
+            """Masked EDT gather (the host flood only reads distances at
+            masked voxels); its D2H copy runs underneath the host blob
+            pruning when dispatched eagerly."""
+            mask_w = np.pad(mask, 1, constant_values=False)
+            masked_idx = np.flatnonzero(mask_w.ravel()).astype(np.int32)
+            m = len(masked_idx)
+            capacity = _pick_capacity("flat", m, mask_w.size)
+            # map flood-frame indices back to device (pshape) indices
+            wshape = mask_w.shape
+            c = np.stack(np.unravel_index(masked_idx, wshape), axis=1) - 1
+            dev_idx = np.ravel_multi_index(
+                tuple(c.T), pshape
+            ).astype(np.int32)
+            idx_up = np.zeros(capacity, np.int32)
+            idx_up[:m] = dev_idx
+            vals_dev = self._gather_fn(capacity)(
+                dist_sq, jnp.asarray(idx_up)
+            )
+            try:
+                vals_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            return mask_w, masked_idx, m, vals_dev
+
+        if mask is not None:
+            mask_w, masked_idx, m, vals_dev = dispatch_gather(mask)
         t0 = tick("gather_dispatch", t0)
 
         coords4 = _ensure_spacing(coords4, spacing=1)
@@ -1125,6 +1184,40 @@ class DoGPipeline:
         markers_w = np.pad(markers, 1, constant_values=0)
         t0 = tick("host_blobs", t0)
 
+        if self.device_flood:
+            # approximate on-device EDT watershed: seeds upload (tiny),
+            # wire-dtype labels download; exact host fallback on
+            # non-convergence. Opt-in — see __init__.
+            n_ids = int(markers.max())
+            coords = np.argwhere(markers > 0).astype(np.int32)
+            labs = markers[tuple(coords.T)].astype(np.int32)
+            kk = len(coords)
+            scap = 1 << max(int(np.ceil(np.log2(max(kk, 1)))), 6)
+            cs = np.zeros((scap, 3), np.int32)
+            ls = np.zeros(scap, np.int32)
+            cs[:kk] = coords
+            ls[:kk] = labs
+            lab_dev, conv = _cached_dog_flood(
+                pshape, scap, wide=n_ids >= 2 ** 16
+            )(mask_packed, dist_sq, jnp.asarray(cs), jnp.asarray(ls))
+            try:
+                lab_dev.copy_to_host_async()
+            except AttributeError:
+                pass
+            if bool(conv):  # blocks on the flood; label D2H runs behind
+                labels = np.asarray(lab_dev).astype(np.int32)
+                t0 = tick("device_flood", t0)
+                if out is not None:
+                    out[...] = labels
+                return labels
+            t0 = tick("device_flood", t0)
+            # fall back to the exact host flood: unpack the mask and run
+            # the gather synchronously (the rare path pays the latency)
+            mask = np.unpackbits(np.asarray(mask_packed))[:nvox].view(
+                np.bool_
+            ).reshape(pshape)
+            mask_w, masked_idx, m, vals_dev = dispatch_gather(mask)
+
         vals_sq = np.asarray(vals_dev)[:m]
         t0 = tick("gather_distance", t0)
 
@@ -1137,6 +1230,7 @@ class DoGPipeline:
         # tests/test_watershed.py). Past the bound (axis-aligned distances
         # over ~1180 voxels) sqrt priorities can collide, where the heap
         # tie-breaks by age — fall back to the exact heap there.
+        wshape = mask_w.shape
         output = np.where(mask_w, markers_w, 0).astype(np.int32).ravel()
         marker_locations = np.flatnonzero(output).astype(np.int64)
         offsets, _ = neighbor_offsets(wshape)

@@ -308,9 +308,15 @@ def dog_blob_watershed_prep_config(
     max_sigma=1.5,
     min_sigma=1,
     threshold=0.02,
+    device_flood=None,
 ):
     """Parity: segmentation.py:654-675, with the ``config.get[...]``
-    subscription bug fixed (the reference crashes on any DoG JSON config)."""
+    subscription bug fixed (the reference crashes on any DoG JSON config).
+
+    ``device_flood``: TPU-native extension — run the EDT watershed on
+    device (approximate image-flood recurrence, ``"xla"``/True; exact
+    host flood on non-convergence). Keyword or a ``"device_flood"`` JSON
+    key; default off (bit-matching labels are the parity contract)."""
     if unet_or_config_file is not None:
         config = read_config_json(str(unet_or_config_file))
         # explicit falsy values (e.g. threshold 0) must be honoured, so
@@ -318,11 +324,14 @@ def dog_blob_watershed_prep_config(
         max_sigma = _config_or(config, "max_sigma", max_sigma)
         min_sigma = _config_or(config, "min_sigma", min_sigma)
         threshold = _config_or(config, "threshold", threshold)
+        if device_flood is None:
+            device_flood = config.get("device_flood")
     return {
         "max_sigma": max_sigma,
         "min_sigma": min_sigma,
         "threshold": threshold,
         "pipeline_cache": {},
+        "device_flood": device_flood or False,
     }
 
 
@@ -336,6 +345,7 @@ def dog_blob_watershed_for_chunks(
     threshold,
     pipeline_cache=None,
     use_device_pipeline=True,
+    device_flood=False,
     **kwargs,
 ):
     """Whole-volume DoG blob segmentation (parity: segmentation.py:592-650).
@@ -354,11 +364,12 @@ def dog_blob_watershed_for_chunks(
 
         if pipeline_cache is None:
             pipeline_cache = {}
-        key = ("dog", float(min_sigma), float(max_sigma), float(threshold))
+        key = ("dog", float(min_sigma), float(max_sigma), float(threshold),
+               device_flood or False)
         if key not in pipeline_cache:
             pipeline_cache[key] = DoGPipeline(
                 min_sigma=min_sigma, max_sigma=max_sigma,
-                threshold=threshold,
+                threshold=threshold, device_flood=device_flood or False,
             )
         pipeline_cache[key].segment(input_volume, out=current_output)
         return
@@ -390,17 +401,27 @@ def dog_blob_watershed(
     debug: bool = False,
     *,
     devices=None,
+    device_flood=None,
     threaded: bool = False,
 ):
     """Classical DoG blob segmentation (no NN). Signature parity with
-    iterseg ``segmentation.py:548-589``, plus the keyword-only ``devices``
-    TPU extension: 4D frames round-robin across the given jax devices
-    (frame parallelism, labels identical to single-device) and
+    iterseg ``segmentation.py:548-589``, plus keyword-only TPU
+    extensions: ``devices`` (4D frames round-robin across the given jax
+    devices — frame parallelism, labels identical to single-device),
+    ``device_flood`` (run the EDT watershed on device — approximate
+    image-flood recurrence, exact host fallback on non-convergence;
+    wins only at >=PCIe link bandwidths, see benchmarks/RESULTS.md) and
     ``threaded`` (return a live :class:`SegmentationWorker`; join via
     ``.result()``)."""
+    prep = dog_blob_watershed_prep_config
+    if device_flood is not None:
+        def prep(layer, cfg, ref, _df=device_flood):
+            return dog_blob_watershed_prep_config(
+                layer, cfg, ref, device_flood=_df
+            )
     return segmentation_wrapper(
         dog_blob_watershed_for_chunks,
-        dog_blob_watershed_prep_config,
+        prep,
         napari_viewer,
         input_volume_layer,
         save_dir,
@@ -786,13 +807,15 @@ def segmentation_loop(
         from .device_pipeline import DoGPipeline
 
         cache = config["pipeline_cache"]
+        df = config.get("device_flood") or False
         key = ("dog", float(config["min_sigma"]),
-               float(config["max_sigma"]), float(config["threshold"]))
+               float(config["max_sigma"]), float(config["threshold"]), df)
         if key not in cache:
             cache[key] = DoGPipeline(
                 min_sigma=config["min_sigma"],
                 max_sigma=config["max_sigma"],
                 threshold=config["threshold"],
+                device_flood=df,
             )
         yield from cache[key].segment_stack(
             data, output_labels, devices=config.get("devices")

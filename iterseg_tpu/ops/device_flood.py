@@ -65,7 +65,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["wavefront_affinity_flood", "wavefront_flood_jit"]
+__all__ = [
+    "wavefront_affinity_flood",
+    "wavefront_flood_jit",
+    "wavefront_image_flood",
+    "wavefront_image_flood_jit",
+]
 
 _BIG = jnp.float32(np.inf)
 
@@ -82,23 +87,36 @@ def _shift(x, axis, delta, fill):
     return jnp.concatenate([sl, pad], axis=axis)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mode", "max_iters", "check_every")
-)
-def wavefront_flood_jit(affinities, seeds, mask, mode="claim",
-                        max_iters=512, check_every=8):
-    """Jitted core. ``seeds``: int32 label image (0 = unseeded).
+def _flood_core(weights, seeds, mask, mode, max_iters, check_every,
+                seed_values=0.0, hop_ties=False):
+    """Shared recurrence over a per-direction edge-weight list.
 
-    Returns ``(labels, n_iters, converged)``; ``labels`` int32.
+    ``weights``: 2*ndim arrays in footprint raster order (z-, y-, x-,
+    x+, y+, z+); ``weights[k][u]`` is the weight entering voxel ``u``
+    when claimed from direction ``k`` — affinity floods pass the crossed
+    affinity, image floods pass the (direction-independent) image value
+    at ``u`` itself, which is exactly skimage's node-keyed heap rule.
+
+    ``seed_values``: the seeds' own heap priority (their virtual pop
+    time). The affinity heap pushes markers at 0 (its keys are >= 0);
+    the image heap pushes markers with their own image value — with
+    values <= 0 (the -EDT landscape) a 0 init would saturate every
+    chain-max and collapse all tie-breaking to raw index order.
+
+    ``hop_ties`` (claim mode): refine the claimant tie-break with a hop
+    count that resets whenever the virtual time strictly rises — on an
+    equal-value plateau the heap's FIFO age order is BFS from the
+    plateau's entry fronts, which the hop count tracks and a raw index
+    tie-break does not. Kept OFF for the affinity flood, whose claim
+    rule must stay identical to the Pallas kernel's.
     """
     mask = mask.astype(bool)
     shape = mask.shape
     ndim = len(shape)
-    aff = affinities.astype(jnp.float32)
 
     idx = jnp.arange(mask.size, dtype=jnp.int32).reshape(shape)
     seeded = seeds > 0
-    d0 = jnp.where(seeded, jnp.float32(0.0), _BIG)
+    d0 = jnp.where(seeded, jnp.asarray(seed_values, jnp.float32), _BIG)
     d0 = jnp.where(mask, d0, _BIG)
     lab0 = jnp.where(mask, seeds, 0).astype(jnp.int32)
 
@@ -106,20 +124,20 @@ def wavefront_flood_jit(affinities, seeds, mask, mode="claim",
         """Yield (d_v, lab_v, w_uv, idx_v) for the 6 face neighbours, in
         the footprint raster order (z-, y-, x-, x+, y+, z+)."""
         out = []
-        # negative directions: v = u - ê_a, edge weight aff[a, u]
+        # negative directions: v = u - ê_a
         for a in range(ndim):
             out.append((
                 _shift(d, a, 1, _BIG),
                 _shift(lab, a, 1, 0),
-                aff[a],
+                weights[a],
                 _shift(idx, a, 1, jnp.int32(0)),
             ))
-        # positive directions: v = u + ê_a, edge weight aff[a, u + ê_a]
-        for a in reversed(range(ndim)):
+        # positive directions: v = u + ê_a
+        for k, a in enumerate(reversed(range(ndim))):
             out.append((
                 _shift(d, a, -1, _BIG),
                 _shift(lab, a, -1, 0),
-                _shift(aff[a], a, -1, _BIG),
+                weights[ndim + k],
                 _shift(idx, a, -1, jnp.int32(0)),
             ))
         return out
@@ -141,7 +159,7 @@ def wavefront_flood_jit(affinities, seeds, mask, mode="claim",
             return d_new, lab_new, it + 1, changed
 
         state0 = (d0, lab0, jnp.int32(0), jnp.bool_(True))
-    else:  # claim-at-push recurrence (label-correcting, see module doc)
+    elif not hop_ties:  # claim-at-push recurrence (see module doc)
         # extra state: the claimant key (ck_d, ck_i) each voxel was last
         # claimed with; a voxel only re-claims on a strictly smaller key,
         # which makes the synchronous update monotone hence convergent
@@ -179,6 +197,69 @@ def wavefront_flood_jit(affinities, seeds, mask, mode="claim",
             return d_new, lab_new, ck_d_new, ck_i_new, it + 1, changed
 
         state0 = (d0, lab0, ck_d0, ck_i0, jnp.int32(0), jnp.bool_(True))
+    else:  # claim recurrence with the plateau hop-count tie-break
+        # per-voxel state adds h (hops since the virtual time last rose);
+        # the claimant key is (V, h, idx) lexicographic. Convergence: a
+        # voxel re-claims only on a strictly smaller key over a finite
+        # value set, as before.
+        ck_d0 = jnp.where(frozen & seeded, -_BIG, _BIG)
+        ck_h0 = jnp.zeros(shape, jnp.int32)
+        ck_i0 = jnp.zeros(shape, jnp.int32)
+        h0 = jnp.zeros(shape, jnp.int32)
+
+        def step(state):
+            d, lab, hp, ck_d, ck_h, ck_i, it, _ = state
+            best_key_d = jnp.full(shape, _BIG)
+            best_key_h = jnp.zeros(shape, jnp.int32)
+            best_key_i = jnp.zeros(shape, jnp.int32)
+            best_lab = lab
+            best_w = jnp.zeros(shape, jnp.float32)
+            for (d_v, lab_v, w, idx_v), h_v in zip(
+                neighbours(d, lab), hops(hp)
+            ):
+                ok = lab_v > 0
+                better = ok & (
+                    (d_v < best_key_d)
+                    | ((d_v == best_key_d) & (
+                        (h_v < best_key_h)
+                        | ((h_v == best_key_h) & (idx_v < best_key_i))
+                    ))
+                )
+                best_key_d = jnp.where(better, d_v, best_key_d)
+                best_key_h = jnp.where(better, h_v, best_key_h)
+                best_key_i = jnp.where(better, idx_v, best_key_i)
+                best_w = jnp.where(better, w, best_w)
+                best_lab = jnp.where(better, lab_v, best_lab)
+            claim = (
+                (best_key_d < ck_d)
+                | ((best_key_d == ck_d) & (
+                    (best_key_h < ck_h)
+                    | ((best_key_h == ck_h) & (best_key_i < ck_i))
+                ))
+            ) & ~frozen
+            d_claim = jnp.maximum(best_key_d, best_w)
+            # hop count: +1 within a value plateau, reset on a rise
+            h_claim = jnp.where(
+                d_claim > best_key_d, jnp.int32(0), best_key_h + 1
+            )
+            d_new = jnp.where(claim, d_claim, d)
+            h_new = jnp.where(claim, h_claim, hp)
+            lab_new = jnp.where(claim, best_lab, lab)
+            ck_d_new = jnp.where(claim, best_key_d, ck_d)
+            ck_h_new = jnp.where(claim, best_key_h, ck_h)
+            ck_i_new = jnp.where(claim, best_key_i, ck_i)
+            changed = jnp.any(claim)
+            return (d_new, lab_new, h_new, ck_d_new, ck_h_new, ck_i_new,
+                    it + 1, changed)
+
+        def hops(hp):
+            out = [_shift(hp, a, 1, jnp.int32(0)) for a in range(ndim)]
+            out += [_shift(hp, a, -1, jnp.int32(0))
+                    for a in reversed(range(ndim))]
+            return out
+
+        state0 = (d0, lab0, h0, ck_d0, ck_h0, ck_i0, jnp.int32(0),
+                  jnp.bool_(True))
 
     def cond(state):
         return state[-1] & (state[-2] < max_iters)
@@ -195,6 +276,68 @@ def wavefront_flood_jit(affinities, seeds, mask, mode="claim",
     # one extra step decides convergence exactly
     still = step(state)[-1]
     return lab, it, jnp.logical_not(still)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "max_iters", "check_every")
+)
+def wavefront_flood_jit(affinities, seeds, mask, mode="claim",
+                        max_iters=512, check_every=8):
+    """Jitted affinity-graph core. ``seeds``: int32 label image
+    (0 = unseeded). Returns ``(labels, n_iters, converged)``.
+
+    Edge weights follow the oracle's ``aff_off`` table: crossing between
+    ``p`` and ``p + ê_a`` reads ``aff[a, p + ê_a]`` in both directions.
+    """
+    ndim = mask.ndim
+    aff = affinities.astype(jnp.float32)
+    # weights entering u, per footprint direction (z-, y-, x-, x+, y+, z+):
+    # from v = u - ê_a the crossed edge is stored at u (aff[a]); from
+    # v = u + ê_a it is stored at v (shift aff[a] down by one along a)
+    weights = [aff[a] for a in range(ndim)]
+    weights += [_shift(aff[a], a, -1, _BIG) for a in reversed(range(ndim))]
+    return _flood_core(weights, seeds, mask, mode, max_iters, check_every)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "max_iters", "check_every")
+)
+def wavefront_image_flood_jit(values, seeds, mask, mode="claim",
+                              max_iters=512, check_every=8):
+    """Jitted image-watershed core: the node-keyed flood of
+    ``skimage.segmentation.watershed(values, markers, mask)`` (the
+    reference DoG path, segmentation.py:640/646, floods ``values =
+    -EDT``). The sequential heap pushes each voxel with its OWN image
+    value, so the claim recurrence's edge weight entering ``u`` is
+    ``values[u]`` from every direction — direction-independent, which is
+    the only difference from the affinity flood. Same approximation
+    status as ``wavefront_flood_jit`` (heap age is unknowable in
+    parallel); seeded support, mask closure and the label id set are
+    exact (tests/test_device_flood.py)."""
+    values = values.astype(jnp.float32)
+    weights = [values] * (2 * mask.ndim)
+    return _flood_core(weights, seeds, mask, mode, max_iters, check_every,
+                       seed_values=values, hop_ties=True)
+
+
+def wavefront_image_flood(values, marker_coords_or_seeds, mask,
+                          mode="claim", max_iters=512, check_every=8):
+    """NumPy-facing image flood. ``marker_coords_or_seeds``: either an
+    (n, ndim) coordinate array (labels 1..n in row order) or a full
+    int32 seed image. Returns ``(labels int32, n_iters, converged)``."""
+    mask = np.asarray(mask).astype(bool)
+    m = np.asarray(marker_coords_or_seeds)
+    if m.shape == mask.shape:
+        seeds = m.astype(np.int32)
+    else:
+        seeds = np.zeros(mask.shape, np.int32)
+        seeds[tuple(m.T)] = np.arange(1, len(m) + 1, dtype=np.int32)
+    lab, it, conv = wavefront_image_flood_jit(
+        jnp.asarray(np.asarray(values, dtype=np.float32)),
+        jnp.asarray(seeds), jnp.asarray(mask),
+        mode=mode, max_iters=max_iters, check_every=check_every,
+    )
+    return np.asarray(lab), int(it), bool(conv)
 
 
 def wavefront_affinity_flood(affinities, marker_coords, mask,

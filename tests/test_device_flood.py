@@ -10,7 +10,11 @@ import numpy as np
 import pytest
 from scipy import ndimage as ndi
 
-from iterseg_tpu.ops.device_flood import wavefront_affinity_flood
+from iterseg_tpu.ops.device_flood import (
+    wavefront_affinity_flood,
+    wavefront_image_flood,
+)
+from iterseg_tpu.ops.watershed import image_watershed
 from iterseg_tpu.ops.watershed_oracle import affinity_flood_py
 
 
@@ -124,3 +128,76 @@ class TestWavefrontFlood:
         got, _, converged = wavefront_affinity_flood(aff, coords, mask)
         assert converged
         np.testing.assert_array_equal(got, oracle)
+
+
+def edt_case(shape=(16, 48, 48), n=25, seed=0):
+    """The DoG segmenter's flood landscape: blobs -> mask, image = -EDT,
+    markers at the distance peaks (segmentation.py:638-646 semantics)."""
+    r = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.float32)
+    pts = np.stack([r.integers(3, s - 3, size=n) for s in shape], 1)
+    vol[tuple(pts.T)] = 1.0
+    vol = ndi.gaussian_filter(vol, (1.0, 2.0, 2.0))
+    vol /= vol.max()
+    mask = vol > 0.15
+    dist = ndi.distance_transform_edt(mask)
+    image = (-dist).astype(np.float32)
+    mx = ndi.maximum_filter(dist, size=3)
+    peaks = np.argwhere((dist == mx) & mask)
+    markers = np.zeros(shape, np.int32)
+    markers[tuple(peaks.T)] = 1
+    markers, _ = ndi.label(markers)
+    return image, markers, mask
+
+
+class TestWavefrontImageFlood:
+    """The node-keyed flood of the DoG path (skimage watershed on -EDT)."""
+
+    def test_invariants(self):
+        image, markers, mask = edt_case()
+        labels, _, converged = wavefront_image_flood(image, markers, mask)
+        assert converged
+        comp, _ = ndi.label(mask)
+        seeded = set(comp[markers > 0]) - {0}
+        reachable = mask & np.isin(comp, sorted(seeded))
+        assert ((labels > 0) == reachable).all()
+        # markers keep their own ids
+        m = markers > 0
+        np.testing.assert_array_equal(labels[m], markers[m])
+        assert set(np.unique(labels)) == set(np.unique(
+            np.where(reachable, labels, 0)))
+
+    def test_agreement_pinned_edt(self):
+        """EDT landscapes are smooth basins — the claim recurrence tracks
+        the exact heap closely there. Pin a floor (measured 0.986-0.997
+        at commit time on these fixtures)."""
+        scores = []
+        for s in range(3):
+            image, markers, mask = edt_case(seed=s)
+            exact = image_watershed(image, markers, mask)
+            got, _, converged = wavefront_image_flood(image, markers, mask)
+            assert converged
+            m = mask & (exact > 0)
+            scores.append((got[m] == exact[m]).mean())
+        assert np.mean(scores) > 0.97, scores
+
+    def test_single_marker_exact(self):
+        image, markers, mask = edt_case(n=1, seed=2)
+        markers = (markers > 0).astype(np.int32)  # one id
+        exact = image_watershed(image, markers, mask)
+        got, _, converged = wavefront_image_flood(image, markers, mask)
+        assert converged
+        np.testing.assert_array_equal(got, exact)
+
+    def test_coords_convention(self):
+        """(n, 3) coordinate markers label 1..n in row order, matching
+        the affinity wrapper's convention."""
+        image, markers, mask = edt_case(seed=4)
+        # one voxel per id (multi-voxel markers would re-number)
+        coords = np.array([np.argwhere(markers == i)[0]
+                           for i in range(1, int(markers.max()) + 1)])
+        single = np.zeros_like(markers)
+        single[tuple(coords.T)] = np.arange(1, len(coords) + 1)
+        a, _, _ = wavefront_image_flood(image, single, mask)
+        b, _, _ = wavefront_image_flood(image, coords, mask)
+        np.testing.assert_array_equal(a, b)

@@ -442,6 +442,79 @@ class TestDeviceFloodMode:
             assert agree > 0.8, agree
 
 
+class TestDoGDeviceFloodMode:
+    """Opt-in on-device EDT watershed for the DoG pipeline
+    (``device_flood="xla"`` — the image-flood recurrence of
+    ops/device_flood; the exact host bucket flood stays the default)."""
+
+    def test_segment_invariants_and_agreement(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        vol = blob_volume(shape=(12, 48, 48), n=16, seed=31)
+        host = DoGPipeline()
+        dev = DoGPipeline(device_flood="xla")
+        prof = {}
+        labels_host = host.segment(vol)
+        labels_dev = dev.segment(vol, profile=prof)
+        assert labels_dev.shape == labels_host.shape
+        # identical mask/marker machinery => identical support and ids
+        np.testing.assert_array_equal(labels_dev > 0, labels_host > 0)
+        assert set(np.unique(labels_dev)) == set(np.unique(labels_host))
+        sel = labels_host > 0
+        agree = (labels_dev[sel] == labels_host[sel]).mean()
+        assert agree > 0.9, agree
+        # the device-flood phase was taken, not the host flood/gather
+        assert "device_flood" in prof
+        assert "flood" not in prof and "gather_distance" not in prof
+
+    def test_true_normalises_to_xla(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        assert DoGPipeline(device_flood=True).device_flood == "xla"
+        with pytest.raises(AssertionError):
+            DoGPipeline(device_flood="pallas")
+
+    def test_deterministic_and_out_buffer(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        vol = blob_volume(shape=(12, 48, 48), n=16, seed=32)
+        dev = DoGPipeline(device_flood="xla")
+        a = dev.segment(vol)
+        out = np.full(tuple(s + 2 for s in vol.shape), -1, np.int32)
+        b = dev.segment(vol, out=out)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(out, b)
+
+    def test_registry_plumbing(self):
+        """``dog_blob_watershed(..., device_flood=...)`` reaches the
+        pipeline (support/ids equal to the default run)."""
+        from iterseg_tpu.engine.segmentation import dog_blob_watershed
+
+        vol = blob_volume(shape=(12, 48, 48), n=16, seed=33)
+        ref = dog_blob_watershed(None, vol, None, "a", debug=True)
+        got = dog_blob_watershed(None, vol, None, "b", debug=True,
+                                 device_flood="xla")
+        np.testing.assert_array_equal(got > 0, ref > 0)
+        assert set(np.unique(got)) == set(np.unique(ref))
+
+    def test_stack_device_flood(self):
+        """The pipelined 4D path honours device_flood per frame."""
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        stack = np.stack([blob_volume(shape=(10, 40, 40), n=10, seed=s)
+                          for s in (34, 35)])
+        dev = DoGPipeline(device_flood="xla")
+        host = DoGPipeline()
+        out_dev = np.zeros(stack.shape, np.int32)
+        out_host = np.zeros(stack.shape, np.int32)
+        list(dev.segment_stack(stack, out_dev, skip_labelled=False))
+        list(host.segment_stack(stack, out_host, skip_labelled=False))
+        np.testing.assert_array_equal(out_dev > 0, out_host > 0)
+        for t in range(2):
+            assert (set(np.unique(out_dev[t]))
+                    == set(np.unique(out_host[t])))
+
+
 class TestDoGStack:
     """Pipelined 4D DoG path (DoGPipeline.segment_stack)."""
 
