@@ -34,6 +34,28 @@ import numpy as np
 import pytest
 
 
+def cpu_subprocess_env(n_devices=1, extra_pythonpath=(), **extra):
+    """Environment for test subprocesses: CPU backend, NO axon TPU client.
+
+    The TPU session's ``/root/.axon_site`` sitecustomize dials the axon
+    tunnel from EVERY python process on its PYTHONPATH — even with
+    ``JAX_PLATFORMS=cpu`` — and concurrent tunnel clients wedge it for
+    minutes (CLAUDE.md). Strip any axon path, force the CPU platform, and
+    pin the virtual device count via XLA_FLAGS (the subprocess imports
+    jax fresh, so the flag applies)."""
+    env = dict(os.environ)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(list(extra_pythonpath) + parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={int(n_devices)}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.update({k: str(v) for k, v in extra.items()})
+    return env
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

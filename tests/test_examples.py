@@ -94,17 +94,17 @@ def test_multihost_example_single_host(tmp_path):
     real subprocess on a pre-made tiny input zarr."""
     zarr_save(str(tmp_path / "in.zarr"),
               np.stack([blobby(seed=7), blobby(seed=8)]))
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYTHONPATH=os.pathsep.join(
-                   [os.path.dirname(EXAMPLES)]
-                   + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    from conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env(extra_pythonpath=[os.path.dirname(EXAMPLES)])
     proc = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, "multihost_segment.py"),
          "--input", str(tmp_path / "in.zarr"),
          "--output", str(tmp_path / "out.zarr")],
-        # 93s in isolation, but the full suite shares this host's single
-        # core — headroom for the load-starved case (observed >600s flake)
-        capture_output=True, text=True, timeout=1800, env=env,
+        # 21s in isolation with the axon-free env (the old axon-client
+        # subprocess wedged the tunnel: 93s, >600s flakes); headroom for
+        # the suite sharing this host's single core
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "host segmented frames" in proc.stdout
@@ -158,15 +158,10 @@ def test_sharded_train_example(tmp_path):
     saves a checkpoint + loss CSV."""
     import pandas as pd
 
-    # drop the TPU session's .axon_site from the path: its sitecustomize
-    # pre-imports jax and pins a 1-device backend before XLA_FLAGS applies
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=8",
-               PYTHONPATH=os.pathsep.join(
-                   [os.path.dirname(EXAMPLES)]
-                   + [p for p in
-                      os.environ.get("PYTHONPATH", "").split(os.pathsep)
-                      if p and "axon" not in p]))
+    from conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env(
+        n_devices=8, extra_pythonpath=[os.path.dirname(EXAMPLES)])
     proc = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, "sharded_train.py"),
          str(tmp_path / "out"), "1", "4"],

@@ -135,9 +135,10 @@ def test_two_process_pod_matches_single_host(stack):
     )
 
     # the real thing: two separate processes, Gloo collectives
+    from conftest import cpu_subprocess_env
+
     port = _free_port()
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = cpu_subprocess_env(n_devices=1)
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _DRIVER, str(pid), str(port), str(root)],
@@ -303,14 +304,16 @@ def test_two_process_pod_with_two_chips_each_matches_single_host(stack,
         "devices=jax.local_devices(),",
         "host_id=0, n_hosts=1,").replace(
         "assert all(t % 2 == pid for t in done), (pid, done)", "")
+    from conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env(n_devices=2)
     gp = subprocess.run(
         [sys.executable, "-c", golden_driver, "0", "0", str(root)],
-        env=dict(os.environ), stdout=subprocess.PIPE,
+        env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, timeout=560,
     )
     assert gp.returncode == 0, gp.stdout.decode()[-2000:]
     port = _free_port()
-    env = dict(os.environ)
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _AUW_DRIVER, str(pid), str(port),
