@@ -58,6 +58,14 @@ _DOG_PROGRAM_CACHE = {}
 _GATHER_CACHE = {}
 
 
+def _pow2_cap(n, floor):
+    """``n`` rounded up to a power of two, at least ``2**floor`` — the
+    static-buffer cap for small uploads (seed rows, candidate slices)
+    where the compiled-shape set must stay bounded. Floors: 6 for seed
+    coordinate rows (tiny), 8 for candidate rankings (typically ~1e4)."""
+    return 1 << max(int(np.ceil(np.log2(max(int(n), 1)))), floor)
+
+
 def _transfer_capacity(n, limit, minimum=1024):
     """Static buffer size for shipping ``n`` live entries through a cached
     fixed-shape executable: ``n`` rounded up to a quarter-octave step
@@ -481,6 +489,18 @@ def _pack_mask_bits(mask):
 class AffinityPipeline:
     """U-Net → watershed segmentation of one zyx volume, device-resident."""
 
+    @staticmethod
+    def normalize_device_flood(value):
+        """Canonical form of a ``device_flood`` setting (False/"xla"/
+        "pallas"). Cache keys must use this, or ``True`` and its resolved
+        kernel name would materialise duplicate pipelines."""
+        if value is True:
+            value = ("pallas" if jax.default_backend() == "tpu"
+                     else "xla")
+        value = value or False
+        assert value in (False, "xla", "pallas"), value
+        return value
+
     def __init__(self, model, chunk_size=(10, 256, 256),
                  margin=(1, 64, 64), absolute_thresh=None,
                  microbatch=None, cand_capacity: int = _CAND_CAP,
@@ -502,11 +522,7 @@ class AffinityPipeline:
         # recurrence (ops/device_flood) elsewhere (Pallas off-TPU means
         # the interpreter — a debugging tool, not a production path);
         # "pallas"/"xla" force a kernel.
-        if device_flood is True:
-            device_flood = ("pallas" if jax.default_backend() == "tpu"
-                            else "xla")
-        assert device_flood in (False, "xla", "pallas"), device_flood
-        self.device_flood = device_flood
+        self.device_flood = self.normalize_device_flood(device_flood)
         self._programs = {}
         # (pshape, buffer): the most-recent shape's scatter buffer only —
         # ragged 4D stacks would otherwise pin ~200 MB per distinct shape
@@ -648,7 +664,7 @@ class AffinityPipeline:
         t0 = _time.perf_counter()
         pshape = mask_pad.shape
         n = len(centroids)
-        cap = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 6)
+        cap = _pow2_cap(n, 6)
         coords = np.zeros((cap, 3), np.int32)
         labs = np.zeros(cap, np.int32)
         coords[:n] = centroids
@@ -808,7 +824,7 @@ class AffinityPipeline:
         if not overflow:
             # ship only the live prefix of the candidate ranking (the
             # capacity buffer is 1 MB; n_cand is typically ~1e4)
-            cap = 1 << max(int(np.ceil(np.log2(max(n_cand, 1)))), 8)
+            cap = _pow2_cap(n_cand, 8)
             cap = min(cap, self.cand_capacity)
             order_small = self._slice_fn(cap)(order)
             try:
@@ -936,6 +952,16 @@ class DoGPipeline:
     equal to the host path (tested).
     """
 
+    @staticmethod
+    def normalize_device_flood(value):
+        """Canonical form of a ``device_flood`` setting (False/"xla";
+        no Pallas image kernel exists yet). Cache keys must use this."""
+        if value is True:
+            value = "xla"
+        value = value or False
+        assert value in (False, "xla"), value
+        return value
+
     def __init__(self, min_sigma=1, max_sigma=1.5, threshold=0.02,
                  sigma_ratio=1.6, cand_capacity: int = _CAND_CAP,
                  device_flood=False):
@@ -949,10 +975,7 @@ class DoGPipeline:
         # default stays the exact host flood: bit-matching labels are the
         # parity contract, and the wire cost inverts only on >=PCIe links
         # (see benchmarks/RESULTS.md, watershed engineering curve).
-        if device_flood is True:
-            device_flood = "xla"
-        assert device_flood in (False, "xla"), device_flood
-        self.device_flood = device_flood
+        self.device_flood = self.normalize_device_flood(device_flood)
         k = int(np.log(self.max_sigma / self.min_sigma)
                 / np.log(self.sigma_ratio) + 1)
         self.sigma_list = np.array(
@@ -1134,7 +1157,7 @@ class DoGPipeline:
             # compile a new slice executable for every distinct candidate
             # count (one per frame on real 4D stacks)
             live = min(n_cand, self.cand_capacity)
-            cap = 1 << max(int(np.ceil(np.log2(max(live, 1)))), 8)
+            cap = _pow2_cap(live, 8)
             cap = min(cap, self.cand_capacity)
             idx_sorted = np.asarray(_cached_slice(cap)(order))[:live]
         coords4 = np.stack(np.unravel_index(idx_sorted, cube_shape), axis=1)
@@ -1167,7 +1190,7 @@ class DoGPipeline:
 
         if mask is not None:
             mask_w, masked_idx, m, vals_dev = dispatch_gather(mask)
-        t0 = tick("gather_dispatch", t0)
+            t0 = tick("gather_dispatch", t0)
 
         coords4 = _ensure_spacing(coords4, spacing=1)
         lm = coords4.astype(np.float64)
@@ -1181,7 +1204,6 @@ class DoGPipeline:
         from ..ops.cc import label_np
 
         markers, _ = label_np(centroids)
-        markers_w = np.pad(markers, 1, constant_values=0)
         t0 = tick("host_blobs", t0)
 
         if self.device_flood:
@@ -1192,7 +1214,7 @@ class DoGPipeline:
             coords = np.argwhere(markers > 0).astype(np.int32)
             labs = markers[tuple(coords.T)].astype(np.int32)
             kk = len(coords)
-            scap = 1 << max(int(np.ceil(np.log2(max(kk, 1)))), 6)
+            scap = _pow2_cap(kk, 6)
             cs = np.zeros((scap, 3), np.int32)
             ls = np.zeros(scap, np.int32)
             cs[:kk] = coords
@@ -1218,6 +1240,9 @@ class DoGPipeline:
             ).reshape(pshape)
             mask_w, masked_idx, m, vals_dev = dispatch_gather(mask)
 
+        # padded markers: only the host-flood paths read these (the
+        # converged device flood above returns without them)
+        markers_w = np.pad(markers, 1, constant_values=0)
         vals_sq = np.asarray(vals_dev)[:m]
         t0 = tick("gather_distance", t0)
 

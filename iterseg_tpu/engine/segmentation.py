@@ -205,11 +205,13 @@ def affinity_watershed_for_chunks(
 
         if pipeline_cache is None:
             pipeline_cache = {}
-        key = (tuple(chunk_size), tuple(margin), device_flood or False)
+        # normalized so True and its resolved kernel name share one entry
+        device_flood = AffinityPipeline.normalize_device_flood(device_flood)
+        key = (tuple(chunk_size), tuple(margin), device_flood)
         if key not in pipeline_cache:
             pipeline_cache[key] = AffinityPipeline(
                 unet, chunk_size=chunk_size, margin=margin,
-                device_flood=device_flood or False,
+                device_flood=device_flood,
             )
         # the flood writes straight into the padded label buffer, exactly
         # like the generic path's out=current_output.ravel()
@@ -364,12 +366,14 @@ def dog_blob_watershed_for_chunks(
 
         if pipeline_cache is None:
             pipeline_cache = {}
+        # normalized so True and "xla" share one cache entry
+        device_flood = DoGPipeline.normalize_device_flood(device_flood)
         key = ("dog", float(min_sigma), float(max_sigma), float(threshold),
-               device_flood or False)
+               device_flood)
         if key not in pipeline_cache:
             pipeline_cache[key] = DoGPipeline(
                 min_sigma=min_sigma, max_sigma=max_sigma,
-                threshold=threshold, device_flood=device_flood or False,
+                threshold=threshold, device_flood=device_flood,
             )
         pipeline_cache[key].segment(input_volume, out=current_output)
         return

@@ -53,11 +53,14 @@ def _unique_inverse(flat):
         mn = int(flat.min())
         mx = int(flat.max())
         if mn >= 0 and mx < max(8 * flat.size, 1 << 20):
-            present = np.bincount(flat.ravel(), minlength=mx + 1) > 0
+            # int64 cast: np.bincount rejects uint64 ("safe" cast rule);
+            # safe here because 0 <= values <= mx (bounded above).
+            idx = flat.astype(np.int64, copy=False)
+            present = np.bincount(idx.ravel(), minlength=mx + 1) > 0
             vals = np.flatnonzero(present)
             lut = np.zeros(mx + 1, np.int64)
             lut[vals] = np.arange(vals.size)
-            return vals.astype(flat.dtype), lut[flat]
+            return vals.astype(flat.dtype), lut[idx]
     return np.unique(flat, return_inverse=True)
 
 
@@ -69,8 +72,8 @@ def _n_unique(arr):
         mn = int(flat.min())
         mx = int(flat.max())
         if mn >= 0 and mx < max(8 * flat.size, 1 << 20):
-            return int(np.count_nonzero(
-                np.bincount(flat, minlength=mx + 1)))
+            return int(np.count_nonzero(np.bincount(
+                flat.astype(np.int64, copy=False), minlength=mx + 1)))
     return np.unique(flat).size
 
 
@@ -237,9 +240,16 @@ class _MatchArtifacts:
         inter = self.pairs.data[keep]
         union = areas_a[self.rows] + areas_b[self.cols] - inter
         self.iou = inter / union
-        self.pixel_identity = float(np.mean(self.gt == self.seg))
+        self._pixel_identity = None
         self._gt_cents = None
         self._seg_cents = None
+
+    @property
+    def pixel_identity(self):
+        # lazy: a full-volume pass only AP consumers pay for
+        if self._pixel_identity is None:
+            self._pixel_identity = float(np.mean(self.gt == self.seg))
+        return self._pixel_identity
 
     def centroids(self, gt_labels, seg_labels):
         """Centroids of the given label ids (all labels tabulated once).

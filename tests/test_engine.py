@@ -546,3 +546,42 @@ class TestPredictVolumeHardening:
             predict_volume(small_model, np.zeros((2, 4, 32, 32),
                                                  np.float32),
                            batch_size=2)
+
+
+class TestDeviceFloodCacheKey:
+    """device_flood=True and its normalized kernel name must share one
+    pipeline-cache entry (the constructor normalizes; the cache key must
+    match, or equivalent settings duplicate pipeline state)."""
+
+    def test_normalizers(self):
+        from iterseg_tpu.engine.device_pipeline import (AffinityPipeline,
+                                                        DoGPipeline)
+        import jax
+
+        want = "pallas" if jax.default_backend() == "tpu" else "xla"
+        assert AffinityPipeline.normalize_device_flood(True) == want
+        assert AffinityPipeline.normalize_device_flood(None) is False
+        assert AffinityPipeline.normalize_device_flood(False) is False
+        assert AffinityPipeline.normalize_device_flood("pallas") == "pallas"
+        assert DoGPipeline.normalize_device_flood(True) == "xla"
+        assert DoGPipeline.normalize_device_flood(None) is False
+        with pytest.raises(AssertionError):
+            DoGPipeline.normalize_device_flood("pallas")
+
+    def test_dog_cache_shared_between_true_and_xla(self, monkeypatch):
+        from iterseg_tpu.engine import device_pipeline as dp
+        from iterseg_tpu.engine.segmentation import (
+            dog_blob_watershed_for_chunks)
+
+        calls = []
+        monkeypatch.setattr(
+            dp.DoGPipeline, "segment",
+            lambda self, vol, out=None, profile=None: calls.append(1))
+        vol = np.zeros((4, 8, 8), np.float32)
+        out = np.zeros((4, 8, 8), np.int32)
+        cache = {}
+        for df in (True, "xla"):
+            dog_blob_watershed_for_chunks(
+                vol, out, (4, 8, 8), (1, 2, 2), 1, 1.5, 0.02,
+                pipeline_cache=cache, device_flood=df)
+        assert len(cache) == 1 and len(calls) == 2

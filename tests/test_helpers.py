@@ -1,5 +1,6 @@
 """ID-matched dataset discovery helpers (parity: helpers.py:95-180)."""
 import os
+from contextlib import contextmanager
 
 import numpy as np
 import pytest
@@ -96,6 +97,28 @@ def test_get_regex_images_orders_by_id(dataset_dir):
                                  ["999999_999999_9"])
 
 
+_CACHE_CONFIG_KEYS = (
+    "jax_compilation_cache_dir",
+    "jax_persistent_cache_min_compile_time_secs",
+    "jax_persistent_cache_min_entry_size_bytes",
+)
+
+
+@contextmanager
+def _restore_cache_config():
+    """Restore EVERY config key enable_compilation_cache touches —
+    leaking the 0.0/0 thresholds would make the rest of the session
+    persist even trivial compiles into the shared cache dir."""
+    import jax
+
+    old = {k: getattr(jax.config, k) for k in _CACHE_CONFIG_KEYS}
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            jax.config.update(k, v)
+
+
 class TestEnableCompilationCache:
     """utils.enable_compilation_cache resolution order + opt-out."""
 
@@ -104,22 +127,18 @@ class TestEnableCompilationCache:
 
         from iterseg_tpu.utils import enable_compilation_cache
 
-        old = jax.config.jax_compilation_cache_dir
-        try:
+        with _restore_cache_config():
             got = enable_compilation_cache(str(tmp_path / "cc"))
             assert got == str(tmp_path / "cc")
             assert os.path.isdir(got)
             assert jax.config.jax_compilation_cache_dir == got
-        finally:
-            jax.config.update("jax_compilation_cache_dir", old)
 
     def test_env_var_and_opt_out(self, tmp_path, monkeypatch):
         import jax
 
         from iterseg_tpu.utils import enable_compilation_cache
 
-        old = jax.config.jax_compilation_cache_dir
-        try:
+        with _restore_cache_config():
             monkeypatch.setenv("ITERSEG_TPU_COMPILE_CACHE",
                                str(tmp_path / "env_cc"))
             assert enable_compilation_cache() == str(tmp_path / "env_cc")
@@ -128,5 +147,3 @@ class TestEnableCompilationCache:
             before = jax.config.jax_compilation_cache_dir
             assert enable_compilation_cache() is None
             assert jax.config.jax_compilation_cache_dir == before
-        finally:
-            jax.config.update("jax_compilation_cache_dir", old)

@@ -460,3 +460,37 @@ class TestMatchArtifactsExactness:
                 out[f"{c}_95pcntCI_2-5pcnt"].values, [ci[0]])
             np.testing.assert_array_equal(
                 out[f"{c}_95pcntCI_97-5pcnt"].values, [ci[1]])
+
+
+class TestDtypeRobustness:
+    """napari/zarr label layers commonly arrive as uint64 — the bincount
+    fast path must accept every unsigned/signed integer dtype np.unique
+    handled (regression: np.bincount rejects uint64 under the 'safe'
+    cast rule)."""
+
+    @pytest.mark.parametrize("dtype", [np.uint64, np.uint32, np.int64,
+                                       np.uint16, np.int16])
+    def test_all_paths_match_int64(self, dtype):
+        from iterseg_tpu.eval.metrics import (_MatchArtifacts, _n_unique,
+                                              _unique_inverse, calculate,
+                                              variation_of_information)
+
+        gt = two_blob_labels().astype(dtype)
+        seg = two_blob_labels(shift=2).astype(dtype)
+        ref_gt = gt.astype(np.int64)
+        ref_seg = seg.astype(np.int64)
+
+        assert _n_unique(gt) == _n_unique(ref_gt)
+        v, inv = _unique_inverse(gt.ravel())
+        rv, rinv = _unique_inverse(ref_gt.ravel())
+        np.testing.assert_array_equal(v.astype(np.int64), rv)
+        np.testing.assert_array_equal(inv, rinv)
+
+        np.testing.assert_array_equal(
+            variation_of_information(gt, seg),
+            variation_of_information(ref_gt, ref_seg))
+
+        got = calculate(gt, seg, iou_threshold=0.5,
+                        artifacts=_MatchArtifacts(gt, seg))
+        want = calculate(ref_gt, ref_seg, iou_threshold=0.5)
+        assert got == want
