@@ -13,6 +13,16 @@ min-label propagation: each voxel starts as its raveled index, repeatedly
 takes the min over face neighbours, and path-compresses via gathers — the
 whole thing is data-parallel and converges in O(log + diameter/hops) rounds,
 then components are renumbered to scipy's raster order.
+
+Why production pipelines label on HOST even when the mask lives on
+device: every CC consumer (seed-marker labeling, the size-band filter)
+feeds a host stage next — the exact heap flood or centroid selection —
+so the mask crosses the link exactly once either way (bit-packed, 2.1 MB
+for 256 cubed), and the host C++ union-find runs under the overlapped
+device compute. ``label_jax``/``label_device`` are the on-device
+building block for hardware where the link is not the bottleneck (PCIe
+hosts; see benchmarks/RESULTS.md watershed crossover analysis) and are
+kept scipy-exact by the tests either way.
 """
 from __future__ import annotations
 
