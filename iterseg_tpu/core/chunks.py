@@ -4,11 +4,19 @@ This is the spatial decomposition at the heart of the framework: big zyx
 volumes are processed as a grid of overlapping chunks whose margins are
 discarded on writeback, so the full volume is covered exactly once.
 
-Semantics match the reference grid generator (iterseg ``predict.py:38-61``
-``make_chunks`` and ``predict.py:64-96`` ``process_chunks``), including the
-edge-shift quirks: the last chunk of each axis is shifted to ``arr - chk``
-and its crop start is recomputed so the concatenated crops tile the axis
-exactly.
+The grid is specified by a tiling invariant (matching the behaviour of the
+reference generator, iterseg ``predict.py:38-96``, which the golden tests in
+``tests/test_chunks.py`` pin):
+
+* Per axis, chunks advance by ``stride = chk - 2*mrg``; the number of
+  placements is ``ceil((arr - 2*mrg) / stride)``, and the final chunk is
+  pinned to end at the array edge (``start = arr - chk``).
+* The covered spans partition ``[0, arr)`` with boundaries at ``0``, at
+  ``i*stride + mrg`` for each interior placement index ``i``, and at
+  ``arr``.  A chunk's writeback crop is its span expressed relative to its
+  own start — so interior chunks contribute ``[mrg, chk - mrg)``, the first
+  chunk contributes from 0, and the pinned final chunk absorbs whatever
+  tail remains.
 
 Everything here is pure host-side index arithmetic (static shapes) — the
 device-side consumers (the batched TPU predictor in ``engine/predict.py``)
@@ -28,6 +36,36 @@ __all__ = [
     "process_chunks",
     "get_slices_from_chunks",
 ]
+
+
+def _axis_grid(arr: int, chk: int, mrg: int):
+    """Chunk starts and (lo, hi) crops for one axis.
+
+    Derived from the tiling invariant in the module docstring.  Returns
+    parallel lists ``starts`` and ``crops`` such that the half-open spans
+    ``[starts[i] + crops[i][0], starts[i] + crops[i][1])`` partition
+    ``[0, arr)``.
+    """
+    stride = chk - 2 * mrg
+    if stride <= 0:
+        raise ValueError(
+            f"margin {mrg} too large for chunk size {chk} (stride <= 0)"
+        )
+    if chk > arr:
+        raise ValueError(f"chunk size {chk} exceeds axis size {arr}")
+    # number of stride placements needed so the walk reaches arr - 2*mrg
+    n = max(1, -(-(arr - 2 * mrg) // stride))
+    starts = [i * stride for i in range(n - 1)]
+    starts.append(arr - chk)  # final chunk pinned to the array edge
+    if n >= 2 and starts[-1] == starts[-2]:
+        starts.pop()  # pinned placement coincides with the natural one
+        n -= 1
+    # coverage boundaries: natural-placement interiors, then the edges
+    bounds = [0] + [i * stride + mrg for i in range(1, n)] + [arr]
+    crops = [
+        (bounds[i] - starts[i], bounds[i + 1] - starts[i]) for i in range(n)
+    ]
+    return starts, crops
 
 
 def make_chunks(arr_shape, chunk_shape, margin):
@@ -52,34 +90,19 @@ def make_chunks(arr_shape, chunk_shape, margin):
 
     Notes
     -----
-    Behaviour (incl. edge handling) is a golden-parity re-derivation of the
-    reference implementation (iterseg ``predict.py:38-61``): interior chunks
-    contribute ``[mrg, chk - mrg)``, the first chunk contributes from 0, and
-    the final chunk is shifted so it ends at the array edge with its crop
-    start adjusted to avoid double-writing.
+    Grid semantics (incl. the pinned final chunk) match the reference
+    generator, iterseg ``predict.py:38-61``; pinned by the golden tests in
+    ``tests/test_chunks.py``.
     """
     ndim = len(arr_shape)
     if isinstance(margin, (int, np.integer)):
         margin = [int(margin)] * ndim
-    starts = []
-    crops = []
-    for dim in range(ndim):
-        arr = int(arr_shape[dim])
-        chk = int(chunk_shape[dim])
-        mrg = int(margin[dim])
-        start = np.arange(0, arr - 2 * mrg, chk - 2 * mrg)
-        start[-1] = arr - chk
-        if len(start) > 1 and start[-1] == start[-2]:
-            # drop the duplicate when the final stride lands exactly
-            start = start[:-1]
-        starts.append(start)
-        crop = np.array([(mrg, chk - mrg)] * len(start))
-        crop[0, 0] = 0
-        crop[-1, 0] = chk - (arr - np.sum(crop[:-1, 1] - crop[:-1, 0]))
-        crop[-1, 1] = chk
-        crops.append(crop)
-    chunk_starts = list(itertools.product(*starts))
-    chunk_crops = list(itertools.product(*crops))
+    per_axis = [
+        _axis_grid(int(arr_shape[d]), int(chunk_shape[d]), int(margin[d]))
+        for d in range(ndim)
+    ]
+    chunk_starts = list(itertools.product(*(axis[0] for axis in per_axis)))
+    chunk_crops = list(itertools.product(*(axis[1] for axis in per_axis)))
     return chunk_starts, chunk_crops
 
 
@@ -111,27 +134,28 @@ def process_chunks(
     through one jitted program instead of looping here; this generic version
     remains for arbitrary per-chunk callables.
     """
-    if config is None:
-        config = {}
-    ndim = len(chunk_size)
-    chunk_starts, chunk_crops = make_chunks(
-        input_volume.shape[-ndim:], chunk_size, margin=margin
+    kwargs = config or {}
+    spatial_ndim = len(chunk_size)
+    starts, crops = make_chunks(
+        input_volume.shape[-spatial_ndim:], chunk_size, margin=margin
     )
-    for start, crop in zip(chunk_starts, chunk_crops):
-        sl = (slice(None),) + chunk_slices(start, chunk_size)
-        predicted_array = process_data_function(input_volume, sl, **config)
-        p_dim = predicted_array.ndim
-        o_dim = output_volume.ndim
-        cr = (slice(None),) * (p_dim - o_dim) + tuple(
-            slice(int(i), int(j)) for i, j in crop
+    for start, crop in zip(starts, crops):
+        window = (slice(None),) + chunk_slices(start, chunk_size)
+        prediction = process_data_function(input_volume, window, **kwargs)
+        # the prediction may carry extra leading dims (e.g. batch, channel)
+        # beyond the output's rank; keep them whole in the crop, and index
+        # the first one away when reading from the prediction.
+        n_extra = prediction.ndim - output_volume.ndim
+        crop_ix = (slice(None),) * n_extra + tuple(
+            slice(int(lo), int(hi)) for lo, hi in crop
         )
-        pred_c = (0,) + cr
-        # output_volume[sl] is a view for ndarray-like stores; zarr-like
+        cropped = prediction[(0,) + crop_ix]
+        # output_volume[window] is a view for ndarray-like stores; zarr-like
         # stores need read-modify-write
-        region = output_volume[sl]
-        region[cr] = predicted_array[pred_c]
+        region = output_volume[window]
+        region[crop_ix] = cropped
         if not isinstance(region, np.ndarray) or region.base is None:
-            output_volume[sl] = region
+            output_volume[window] = region
     return output_volume
 
 
@@ -152,10 +176,7 @@ def get_slices_from_chunks(arr_shape, chunk_size, margin):
     slices = []
     for t in ts:
         for start, crop in zip(chunk_starts, chunk_crops):
-            sl = (slice(t, t + 1),) + tuple(
-                slice(int(s0), int(s0) + int(step))
-                for s0, step in zip(start, chunk_size)
-            )
-            cr = tuple(slice(int(i), int(j)) for i, j in crop)
+            sl = (slice(t, t + 1),) + chunk_slices(start, chunk_size)
+            cr = tuple(slice(int(lo), int(hi)) for lo, hi in crop)
             slices.append((sl, cr))
     return slices
