@@ -162,21 +162,26 @@ def _cached_crop_cast(pshape, wide):
     return _GATHER_CACHE[key]
 
 
-def _cached_dog_flood(pshape, cap, wide):
+def _cached_dog_flood(pshape, cap, wide, kernel="xla"):
     """Device program for the DoG pipeline's ``device_flood`` mode: the
     mask (bit-packed) and squared EDT are ALREADY device-resident outputs
     of the main DoG program, so only the ``cap`` zero-padded seed
     coordinate/label rows upload (the inert-zero scatter of
-    ``_cached_flood_prep``); the approximate image-watershed recurrence
-    (``ops/device_flood.wavefront_image_flood_jit`` — the node-keyed
-    flood of the reference's ``watershed(-edt, markers, mask)``) runs on
-    ``-sqrt(EDT²)`` and only the wire-dtype labels come back."""
-    key = ("dog_flood", pshape, cap, bool(wide))
+    ``_cached_flood_prep``); the approximate image watershed — the XLA
+    recurrence (``ops/device_flood.wavefront_image_flood_jit``) or the
+    Pallas Gauss-Seidel kernel (``ops/pallas_flood.pallas_image_flood_jit``)
+    per ``kernel`` — runs on ``-sqrt(EDT²)`` (the node-keyed flood of the
+    reference's ``watershed(-edt, markers, mask)``) and only the
+    wire-dtype labels come back. Callers must gate ``kernel="pallas"``
+    on ``pallas_flood.fits_vmem(pshape)``."""
+    key = ("dog_flood", pshape, cap, bool(wide), kernel)
     if key not in _GATHER_CACHE:
         from ..ops.device_flood import wavefront_image_flood_jit
+        from ..ops.pallas_flood import pallas_image_flood_jit
 
         psize = int(np.prod(pshape))
         dtype = jnp.int32 if wide else jnp.uint16
+        interpret = jax.default_backend() != "tpu"
 
         @jax.jit
         def fn(bits, dist_sq, coords, labs):
@@ -187,9 +192,17 @@ def _cached_dog_flood(pshape, cap, wide):
                 coords[:, 0], coords[:, 1], coords[:, 2]
             ].max(labs)
             values = -jnp.sqrt(dist_sq.astype(jnp.float32))
-            lab, _it, conv = wavefront_image_flood_jit(
-                values, seeds, mask, mode="claim", max_iters=512
-            )
+            if kernel == "pallas":
+                # inner_cap=1 is the fidelity-first setting, as for the
+                # affinity kernel (benchmarks/watershed_crossover.py)
+                lab, _it, conv = pallas_image_flood_jit(
+                    values, seeds, mask, max_sweeps=128, inner_cap=1,
+                    interpret=interpret,
+                )
+            else:
+                lab, _it, conv = wavefront_image_flood_jit(
+                    values, seeds, mask, mode="claim", max_iters=512
+                )
             return lab.astype(dtype), conv
 
         _GATHER_CACHE[key] = fn
@@ -954,12 +967,14 @@ class DoGPipeline:
 
     @staticmethod
     def normalize_device_flood(value):
-        """Canonical form of a ``device_flood`` setting (False/"xla";
-        no Pallas image kernel exists yet). Cache keys must use this."""
+        """Canonical form of a ``device_flood`` setting (False/"xla"/
+        "pallas"). Cache keys must use this, or ``True`` and its resolved
+        kernel name would materialise duplicate device programs."""
         if value is True:
-            value = "xla"
+            value = ("pallas" if jax.default_backend() == "tpu"
+                     else "xla")
         value = value or False
-        assert value in (False, "xla"), value
+        assert value in (False, "xla", "pallas"), value
         return value
 
     def __init__(self, min_sigma=1, max_sigma=1.5, threshold=0.02,
@@ -970,11 +985,14 @@ class DoGPipeline:
         self.threshold = float(threshold)
         self.sigma_ratio = float(sigma_ratio)
         self.cand_capacity = cand_capacity
-        # opt-in approximate on-device EDT watershed (XLA recurrence; the
-        # Pallas image kernel does not exist yet — only "xla"). The
-        # default stays the exact host flood: bit-matching labels are the
-        # parity contract, and the wire cost inverts only on >=PCIe links
-        # (see benchmarks/RESULTS.md, watershed engineering curve).
+        # opt-in approximate on-device EDT watershed — the Pallas
+        # Gauss-Seidel image kernel (ops/pallas_flood) on a real TPU, the
+        # XLA recurrence (ops/device_flood) elsewhere; "pallas"/"xla"
+        # force a kernel (volumes over the Pallas VMEM budget reroute to
+        # XLA with a warning, see _finalize). The default stays the exact
+        # host flood: bit-matching labels are the parity contract, and
+        # the wire cost inverts only on >=PCIe links (see
+        # benchmarks/RESULTS.md, watershed engineering curve).
         self.device_flood = self.normalize_device_flood(device_flood)
         k = int(np.log(self.max_sigma / self.min_sigma)
                 / np.log(self.sigma_ratio) + 1)
@@ -1219,8 +1237,26 @@ class DoGPipeline:
             ls = np.zeros(scap, np.int32)
             cs[:kk] = coords
             ls[:kk] = labs
+            from ..ops.pallas_flood import fits_vmem
+
+            # the Pallas kernel never tiles x: wide-X volumes overflow
+            # its VMEM scratch and would fail the Mosaic compile, so
+            # they take the XLA recurrence instead of aborting (labels
+            # differ between the kernels at schedule-dependent tie
+            # races, so a forced-"pallas" caller must hear about it)
+            kernel = self.device_flood
+            if kernel == "pallas" and not fits_vmem(pshape):
+                import warnings
+
+                warnings.warn(
+                    f"device_flood='pallas': padded volume {pshape} "
+                    "exceeds the Pallas kernel's VMEM budget "
+                    "(fits_vmem); using the XLA recurrence instead",
+                    RuntimeWarning, stacklevel=3,
+                )
+                kernel = "xla"
             lab_dev, conv = _cached_dog_flood(
-                pshape, scap, wide=n_ids >= 2 ** 16
+                pshape, scap, wide=n_ids >= 2 ** 16, kernel=kernel
             )(mask_packed, dist_sq, jnp.asarray(cs), jnp.asarray(ls))
             try:
                 lab_dev.copy_to_host_async()

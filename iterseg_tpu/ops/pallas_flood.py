@@ -566,16 +566,23 @@ def _image_sweep_call(shape, n_tiles, n_ty, tz, ty, xp, yg, reverse,
 )
 def pallas_image_flood_jit(values, seeds, mask, max_sweeps=64,
                            inner_cap=64, tz=TZ, ty=TY, interpret=False):
-    """Jitted image-flood core: same contract as
+    """Jitted image-flood core: a schedule/tie-order-dependent
+    approximation of the same fixed-point class as
     ``device_flood.wavefront_image_flood_jit`` (the node-keyed flood of
     ``skimage.segmentation.watershed(values, markers, mask)`` — the
     reference DoG path floods ``values = -EDT``,
-    ``/root/reference/src/iterseg/segmentation.py:640,646``).
+    ``/root/reference/src/iterseg/segmentation.py:640,646``).  Same
+    calling convention, but NOT label-identical to either the XLA
+    recurrence or the sequential heap: the final index tie-break uses
+    this kernel's padded-guard ravel order while the XLA oracle uses the
+    unpadded volume ravel, so labels can differ at exact (value, hop)
+    ties.  Tests pin the achieved oracle/XLA agreement for this kernel
+    separately (``tests/test_pallas_flood.py::TestPallasImageFlood``).
 
     Returns ``(labels int32 (mask.shape), n_sweeps, converged)``; a sweep
-    is one forward plus one backward Gauss-Seidel pass.  Approximation
-    status, invariants and the ``fits_vmem`` bound are as for
-    ``pallas_flood_jit`` (8 scratch buffers either way).
+    is one forward plus one backward Gauss-Seidel pass.  Invariants and
+    the ``fits_vmem`` bound are as for ``pallas_flood_jit`` (8 scratch
+    buffers either way).
     """
     if inner_cap < 1:
         raise ValueError(f"inner_cap must be >= 1, got {inner_cap}")

@@ -467,12 +467,15 @@ class TestDoGDeviceFloodMode:
         assert "device_flood" in prof
         assert "flood" not in prof and "gather_distance" not in prof
 
-    def test_true_normalises_to_xla(self):
+    def test_true_normalises_to_backend_default(self):
+        import jax
         from iterseg_tpu.engine.device_pipeline import DoGPipeline
 
-        assert DoGPipeline(device_flood=True).device_flood == "xla"
+        expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+        assert DoGPipeline(device_flood=True).device_flood == expected
+        assert DoGPipeline(device_flood="pallas").device_flood == "pallas"
         with pytest.raises(AssertionError):
-            DoGPipeline(device_flood="pallas")
+            DoGPipeline(device_flood="cuda")
 
     def test_deterministic_and_out_buffer(self):
         from iterseg_tpu.engine.device_pipeline import DoGPipeline

@@ -17,11 +17,18 @@ import numpy as np
 import pytest
 from scipy import ndimage as ndi
 
-from iterseg_tpu.ops.pallas_flood import pallas_wavefront_flood
-from iterseg_tpu.ops.device_flood import wavefront_affinity_flood
+from iterseg_tpu.ops.pallas_flood import (
+    pallas_image_flood,
+    pallas_wavefront_flood,
+)
+from iterseg_tpu.ops.device_flood import (
+    wavefront_affinity_flood,
+    wavefront_image_flood,
+)
+from iterseg_tpu.ops.watershed import image_watershed
 from iterseg_tpu.ops.watershed_oracle import affinity_flood_py
 
-from test_device_flood import make_case, smooth_case
+from test_device_flood import edt_case, make_case, smooth_case
 
 
 class TestPallasFlood:
@@ -100,6 +107,145 @@ class TestPallasFlood:
         m = mask & (xla > 0)
         np.testing.assert_array_equal(pal > 0, xla > 0)
         assert (pal[m] == xla[m]).mean() > 0.9
+
+
+class TestPallasImageFlood:
+    """Image (EDT-watershed) sibling of TestPallasFlood — same kernel
+    geometry, the node-keyed (value, hop, index) claim rule of
+    ``device_flood.wavefront_image_flood``.  Interpreter-backed on the
+    CPU mesh; the compiled kernel was run against the same oracle on the
+    real chip (round-4 verify drive: agreement 0.99+ on the edt_case
+    class, convergent)."""
+
+    def test_invariants(self):
+        image, markers, mask = edt_case()
+        labels, _, converged = pallas_image_flood(image, markers, mask)
+        assert converged
+        comp, _ = ndi.label(mask)
+        seeded = set(comp[markers > 0]) - {0}
+        reachable = mask & np.isin(comp, sorted(seeded))
+        assert ((labels > 0) == reachable).all()
+        # markers keep their own ids
+        m = markers > 0
+        np.testing.assert_array_equal(labels[m], markers[m])
+        # every label comes from the seed set
+        assert set(np.unique(labels)) <= set(np.unique(markers))
+
+    def test_single_marker_exact(self):
+        """One marker per connected component leaves no ties: every
+        reachable voxel must get that id — exact vs the heap."""
+        image, markers, mask = edt_case(n=1, seed=2)
+        markers = (markers > 0).astype(np.int32)  # one id
+        exact = image_watershed(image, markers, mask)
+        got, _, converged = pallas_image_flood(image, markers, mask)
+        assert converged
+        np.testing.assert_array_equal(got, exact)
+
+    def test_agreement_pinned_edt(self):
+        """EDT landscapes are smooth basins — pin the oracle-agreement
+        floor at the fidelity-first inner_cap=1 (measured 0.986-0.998 on
+        these fixtures at commit time; the XLA recurrence pins > 0.97 on
+        the same fixtures in test_device_flood)."""
+        scores = []
+        for s in range(3):
+            image, markers, mask = edt_case(seed=s)
+            exact = image_watershed(image, markers, mask)
+            got, _, converged = pallas_image_flood(
+                image, markers, mask, inner_cap=1, max_sweeps=256
+            )
+            assert converged
+            m = mask & (exact > 0)
+            scores.append((got[m] == exact[m]).mean())
+        assert np.mean(scores) > 0.97, scores
+
+    def test_matches_xla_fixed_point_class(self):
+        """Same fixed-point class as the XLA image recurrence; labels
+        agree on the bulk of voxels (the index tie-break differs — the
+        kernel uses padded-guard ravel order, the XLA oracle the
+        unpadded volume ravel — so ties may land differently)."""
+        image, markers, mask = edt_case(seed=0)
+        pal, _, _ = pallas_image_flood(image, markers, mask)
+        xla, _, _ = wavefront_image_flood(image, markers, mask)
+        m = mask & (xla > 0)
+        np.testing.assert_array_equal(pal > 0, xla > 0)
+        assert (pal[m] == xla[m]).mean() > 0.9
+
+    def test_coords_convention(self):
+        """(n, 3) coordinate markers label 1..n in row order, matching
+        the XLA wrapper's convention."""
+        image, markers, mask = edt_case(seed=4)
+        coords = np.array([np.argwhere(markers == i)[0]
+                           for i in range(1, int(markers.max()) + 1)])
+        single = np.zeros_like(markers)
+        single[tuple(coords.T)] = np.arange(1, len(coords) + 1)
+        a, _, _ = pallas_image_flood(image, single, mask)
+        b, _, _ = pallas_image_flood(image, coords, mask)
+        np.testing.assert_array_equal(a, b)
+
+    def test_deterministic(self):
+        image, markers, mask = edt_case(seed=5)
+        a, _, _ = pallas_image_flood(image, markers, mask)
+        b, _, _ = pallas_image_flood(image, markers, mask)
+        np.testing.assert_array_equal(a, b)
+
+    def test_empty_seeds(self):
+        image, markers, mask = edt_case(seed=2)
+        got, _, converged = pallas_image_flood(
+            image, np.zeros_like(markers), mask
+        )
+        assert converged
+        assert (got == 0).all()
+
+
+class TestDoGPipelinePallasFlood:
+    """device_flood="pallas" through DoGPipeline._finalize (the
+    production integration), interpreter-backed on the CPU mesh."""
+
+    def test_segment_support_and_agreement(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        r = np.random.default_rng(41)
+        shape = (12, 48, 48)
+        vol = np.zeros(shape, np.float32)
+        pts = np.stack([r.integers(3, s - 3, size=16) for s in shape], 1)
+        vol[tuple(pts.T)] = 1.0
+        vol = ndi.gaussian_filter(vol, (1, 2, 2))
+        vol /= vol.max()
+        host = DoGPipeline()
+        dev = DoGPipeline(device_flood="pallas")
+        assert dev.device_flood == "pallas"
+        prof = {}
+        labels_host = host.segment(vol)
+        labels_dev = dev.segment(vol, profile=prof)
+        np.testing.assert_array_equal(labels_dev > 0, labels_host > 0)
+        assert set(np.unique(labels_dev)) == set(np.unique(labels_host))
+        sel = labels_host > 0
+        assert (labels_dev[sel] == labels_host[sel]).mean() > 0.9
+        assert "device_flood" in prof
+        assert "flood" not in prof and "gather_distance" not in prof
+
+    def test_wide_x_falls_back_to_xla(self):
+        """Volumes over the Pallas VMEM budget must reroute to the XLA
+        recurrence with a warning instead of attempting the Mosaic
+        compile (which would OOM on chip)."""
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+        from iterseg_tpu.ops.pallas_flood import fits_vmem
+
+        r = np.random.default_rng(42)
+        shape = (6, 16, 640)  # padded x = 642 -> xp = 768, over budget
+        assert not fits_vmem(tuple(s + 2 for s in shape))
+        vol = np.zeros(shape, np.float32)
+        pts = np.stack([r.integers(2, s - 2, size=12) for s in shape], 1)
+        vol[tuple(pts.T)] = 1.0
+        vol = ndi.gaussian_filter(vol, (1, 2, 2))
+        vol /= vol.max()
+        host = DoGPipeline()
+        dev = DoGPipeline(device_flood="pallas")
+        labels_host = host.segment(vol)
+        with pytest.warns(RuntimeWarning, match="VMEM budget"):
+            labels_dev = dev.segment(vol)
+        np.testing.assert_array_equal(labels_dev > 0, labels_host > 0)
+        assert set(np.unique(labels_dev)) == set(np.unique(labels_host))
 
 
 class TestPipelinePallasFlood:
