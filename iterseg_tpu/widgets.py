@@ -1,8 +1,10 @@
 """Public entry points (the reference's widget layer, headless-first).
 
 Every reference widget (iterseg ``_dock_widgets.py``) has its headless twin
-here with an identical signature; when magicgui/napari are importable the
-same functions are exposed as dock widgets via ``napari.yaml``.
+here with an identical signature; the GUI layer (``gui.py``) wraps these in
+``magic_factory`` factories with the reference's typed-control option dicts
+(choices, ``FileEdit``, ``LiteralEvalLineEdit``), and ``napari.yaml``'s
+widget commands resolve there.
 
 Widgets: ``train_from_viewer``, ``load_data``, ``segment_data``,
 ``combine_layers``, ``assess_segmentation``, ``compare_segmentations``,
