@@ -209,6 +209,38 @@ def _cached_dog_flood(pshape, cap, wide, kernel="xla"):
     return _GATHER_CACHE[key]
 
 
+def _cached_exact_cert(pshape, cap, wide):
+    """Device program for ``device_flood="exact"``: unpack the filtered
+    mask bits + scatter seeds (as ``_cached_flood_prep``), then run the
+    watershed CERTIFICATE (``ops/flood_exact.certificate_flood_jit``) on
+    the device-resident padded affinities.  Ships back wire-dtype
+    representative labels and bit-packed uncertainty; the V bounds stay
+    device-resident for the (rare, tiny) boundary gather."""
+    key = ("exact_cert", pshape, cap, bool(wide))
+    if key not in _GATHER_CACHE:
+        from ..ops.flood_exact import certificate_flood_jit
+
+        psize = int(np.prod(pshape))
+        dtype = jnp.int32 if wide else jnp.uint16
+
+        @jax.jit
+        def fn(bits, coords, labs, aff_pad):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits MSB
+            flat = ((bits[:, None] >> shifts) & 1).reshape(-1)[:psize]
+            mask = flat.astype(bool).reshape(pshape)
+            seeds = jnp.zeros(pshape, jnp.int32).at[
+                coords[:, 0], coords[:, 1], coords[:, 2]
+            ].max(labs)
+            rep, unc, v_lb, v_ub, conv = certificate_flood_jit(
+                aff_pad, seeds, mask
+            )
+            return (rep.astype(dtype), _pack_mask_bits(unc),
+                    v_lb, v_ub, conv)
+
+        _GATHER_CACHE[key] = fn
+    return _GATHER_CACHE[key]
+
+
 def _prepare_frame(raw):
     """Shared per-frame input contract of the 4D stack paths: returns
     ``(vol, kept, device_normalize)``.
@@ -505,13 +537,30 @@ class AffinityPipeline:
     @staticmethod
     def normalize_device_flood(value):
         """Canonical form of a ``device_flood`` setting (False/"xla"/
-        "pallas"). Cache keys must use this, or ``True`` and its resolved
-        kernel name would materialise duplicate pipelines."""
+        "pallas"/"exact"). Cache keys must use this, or ``True`` and its
+        resolved kernel name would materialise duplicate pipelines.
+
+        ``True`` is bandwidth-adaptive on a real TPU: the Pallas flood
+        beats the host heap end-to-end only above the measured ~38 MB/s
+        link crossover (``engine.linkprobe``), so slower links resolve
+        ``True`` back to the exact host flood.  Off-TPU (the CPU test
+        mesh has no real link) ``True`` stays the XLA recurrence, and
+        explicit ``"pallas"``/``"xla"``/``"exact"`` always force."""
         if value is True:
-            value = ("pallas" if jax.default_backend() == "tpu"
-                     else "xla")
+            if jax.default_backend() == "tpu":
+                from .linkprobe import MEASURED, measure_link_mbps
+
+                mbps = measure_link_mbps()
+                value = (
+                    "pallas"
+                    if mbps is not None
+                    and mbps >= MEASURED["device_flood_crossover_mbps"]
+                    else False
+                )
+            else:
+                value = "xla"
         value = value or False
-        assert value in (False, "xla", "pallas"), value
+        assert value in (False, "xla", "pallas", "exact"), value
         return value
 
     def __init__(self, model, chunk_size=(10, 256, 256),
@@ -527,14 +576,18 @@ class AffinityPipeline:
         self.cand_capacity = cand_capacity
         self.normalize = normalize  # divide by max on device (device twin
         # of segment_single_volume's host normalisation; bit-identical f32)
-        # opt-in APPROXIMATE on-device flood instead of the exact host
-        # heap; ~97-99.7% label agreement, mask/threshold/seed selection
-        # stay exact (see benchmarks/watershed_crossover.py). True picks
-        # the Pallas Gauss-Seidel kernel (ops/pallas_flood, ~3.5x the XLA
-        # Jacobi recurrence at equal agreement) on a real TPU and the XLA
-        # recurrence (ops/device_flood) elsewhere (Pallas off-TPU means
-        # the interpreter — a debugging tool, not a production path);
-        # "pallas"/"xla" force a kernel.
+        # opt-in on-device flood instead of the exact host heap. True
+        # picks the APPROXIMATE Pallas Gauss-Seidel kernel
+        # (ops/pallas_flood, ~97-99.7% label agreement, ~3.5x the XLA
+        # Jacobi recurrence) on a real TPU and the XLA recurrence
+        # (ops/device_flood) elsewhere (Pallas off-TPU means the
+        # interpreter — a debugging tool, not a production path);
+        # "pallas"/"xla" force a kernel. "exact" runs the hybrid
+        # certificate + host-repair flood (ops/flood_exact): labels
+        # BIT-EQUAL to the host heap, certificate on device, only the
+        # uncertain few percent re-floods on host. Mask/threshold/seed
+        # selection stay exact in every mode
+        # (benchmarks/watershed_crossover.py has the measured curves).
         self.device_flood = self.normalize_device_flood(device_flood)
         self._programs = {}
         # (pshape, buffer): the most-recent shape's scatter buffer only —
@@ -735,6 +788,146 @@ class AffinityPipeline:
             return view
         return labels
 
+    def _flood_exact(self, aff_pad, mask_pad, centroids, out=None,
+                     profile=None):
+        """``device_flood="exact"``: the hybrid certificate + host-repair
+        flood (``ops/flood_exact``) — labels BIT-EQUAL to the exact host
+        heap, with the bulk certified on device and only the uncertain
+        region (typically 0-2% on trained-U-Net affinities) re-flooded
+        on host.  Returns cropped int32 labels, or ``None`` when the
+        certificate did not converge or the repair proved tie-sensitive
+        (caller falls back to the exact host flood — exactness never
+        regresses; the fallback path is recorded in ``profile``)."""
+        import time as _time
+
+        from ..ops.flood_exact import repair_region
+        from ..ops.watershed_oracle import neighbor_offsets
+
+        def tick(name, t0):
+            if profile is not None:
+                profile[name] = profile.get(name, 0.0) + (
+                    _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        t0 = _time.perf_counter()
+        pshape = mask_pad.shape
+        n = len(centroids)
+        cap = _pow2_cap(n, 6)
+        coords = np.zeros((cap, 3), np.int32)
+        labs = np.zeros(cap, np.int32)
+        coords[:n] = centroids
+        labs[:n] = np.arange(1, n + 1, dtype=np.int32)
+        bits = np.packbits(mask_pad.view(np.bool_).ravel())
+        wide = n >= 2 ** 16
+        rep_dev, unc_bits, v_lb_dev, v_ub_dev, conv = _cached_exact_cert(
+            pshape, cap, wide
+        )(jnp.asarray(bits), jnp.asarray(coords), jnp.asarray(labs),
+          aff_pad)
+        for a in (rep_dev, unc_bits):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        if not bool(conv):  # blocks on the certificate
+            if profile is not None:
+                profile["flood_exact_path"] = "fallback:unconverged"
+            return None
+        rep = np.asarray(rep_dev).astype(np.int32)
+        unc = np.unpackbits(np.asarray(unc_bits))[:rep.size].view(
+            np.bool_
+        ).reshape(pshape)
+        t0 = tick("device_flood", t0)
+        mask_b = mask_pad.view(np.bool_)
+        n_mask = int(mask_b.sum())
+        if profile is not None:
+            profile["flood_uncertain_frac"] = (
+                float(unc.sum()) / n_mask if n_mask else 0.0
+            )
+
+        def finish(labels_pad):
+            if out is not None:
+                output = out
+                output[:] = 0
+                view = output.reshape(pshape)[1:-1, 1:-1, 1:-1]
+                view[:] = labels_pad[1:-1, 1:-1, 1:-1]
+                return view
+            return labels_pad[1:-1, 1:-1, 1:-1].copy()
+
+        if not unc.any():
+            if profile is not None:
+                profile["flood_exact_path"] = "certified"
+            tick("download_labels", t0)
+            return finish(rep)
+
+        # ---- host repair of the uncertain region ----
+        from .. import native
+
+        R, B = repair_region(rep, unc)
+        b_idx = np.flatnonzero(B.ravel()).astype(np.int64)
+        # V bounds at the boundary + affinities wherever the restricted
+        # flood can read them (R|B poppers and their +axis neighbours:
+        # val_off is 0 or +stride) — both tiny gathers
+        need = R | B
+        grow = need.copy()
+        for a in range(3):
+            grow[tuple(slice(None, -1) if i == a else slice(None)
+                       for i in range(3))] |= need[
+                tuple(slice(1, None) if i == a else slice(None)
+                      for i in range(3))]
+        g_idx = np.flatnonzero(grow.ravel()).astype(np.int64)
+        vcap = _pick_capacity("flat", len(b_idx), mask_pad.size)
+        acap = _pick_capacity("rows", len(g_idx), mask_pad.size)
+        v_idx = np.zeros(vcap, np.int32)
+        v_idx[:len(b_idx)] = b_idx
+        a_idx = np.zeros(acap, np.int32)
+        a_idx[:len(g_idx)] = g_idx
+        lb_g = _cached_gather("flat", vcap)(v_lb_dev, jnp.asarray(v_idx))
+        ub_g = _cached_gather("flat", vcap)(v_ub_dev, jnp.asarray(v_idx))
+        aff_g = _cached_gather("rows", acap)(aff_pad, jnp.asarray(a_idx))
+        lb_b = np.asarray(lb_g)[:len(b_idx)]
+        ub_b = np.asarray(ub_g)[:len(b_idx)]
+        aff_vals = np.asarray(aff_g)[:, :len(g_idx)]
+        t0 = tick("gather_repair", t0)
+
+        if self._aff_host[0] != pshape:
+            self._aff_host = (
+                pshape, np.empty((3, mask_pad.size), np.float32)
+            )
+        aff_host = self._aff_host[1]
+        aff_host[:, g_idx] = aff_vals
+        offsets, axes = neighbor_offsets(pshape)
+        n_half = len(offsets) // 2
+        val_off = offsets.copy()
+        val_off[:n_half] = 0
+        flood_mask = (R | B).ravel()
+        seed_ages = np.arange(len(b_idx), dtype=np.int64)
+
+        def restricted(seed_vals, tie_reverse):
+            o = np.where(B, rep, 0).astype(np.int32).ravel()
+            native.priority_flood_seeded(
+                aff_host, offsets, axes, val_off, b_idx, seed_vals,
+                seed_ages, flood_mask, o, tie_reverse=tie_reverse,
+            )
+            return o.reshape(pshape)
+
+        try:
+            out_fwd = restricted(lb_b, False)
+            out_rev = restricted(ub_b, True)
+        except native.NativeUnavailable:
+            if profile is not None:
+                profile["flood_exact_path"] = "fallback:no-native"
+            return None
+        if not np.array_equal(out_fwd[R], out_rev[R]):
+            if profile is not None:
+                profile["flood_exact_path"] = "fallback:tie-sensitive"
+            return None
+        rep[R] = out_fwd[R]
+        if profile is not None:
+            profile["flood_exact_path"] = "repaired"
+        t0 = tick("flood", t0)
+        return finish(rep)
+
     # ------------------------------------------------------------------
 
     def segment_stack(self, stack, output_labels, skip_labelled=True,
@@ -890,13 +1083,17 @@ class AffinityPipeline:
 
         if self.device_flood:
             if len(centroids):
-                labels = self._flood_on_device(
+                flood = (self._flood_exact
+                         if self.device_flood == "exact"
+                         else self._flood_on_device)
+                labels = flood(
                     aff_pad, mask_pad, centroids, out=out, profile=profile
                 )
                 if labels is not None:
                     return labels
                 # rare fallback: the wavefront flood did not converge
-                # within max_iters — run the exact host flood instead
+                # within max_iters (or the exact mode's repair proved
+                # tie-sensitive) — run the exact host flood instead
                 # (gather dispatched only now; serial, nothing to hide it
                 # under)
             pre_idx, m, capacity, idx_up, vals_dev = self._dispatch_gather(
@@ -969,10 +1166,26 @@ class DoGPipeline:
     def normalize_device_flood(value):
         """Canonical form of a ``device_flood`` setting (False/"xla"/
         "pallas"). Cache keys must use this, or ``True`` and its resolved
-        kernel name would materialise duplicate device programs."""
+        kernel name would materialise duplicate device programs.
+
+        ``True`` is bandwidth-adaptive on a real TPU, exactly as for
+        ``AffinityPipeline``: above the measured link crossover it
+        resolves to the Pallas image kernel, below it to the exact host
+        flood (the label download costs more than the host flood it
+        replaces — benchmarks/RESULTS.md)."""
         if value is True:
-            value = ("pallas" if jax.default_backend() == "tpu"
-                     else "xla")
+            if jax.default_backend() == "tpu":
+                from .linkprobe import MEASURED, measure_link_mbps
+
+                mbps = measure_link_mbps()
+                value = (
+                    "pallas"
+                    if mbps is not None
+                    and mbps >= MEASURED["device_flood_crossover_mbps"]
+                    else False
+                )
+            else:
+                value = "xla"
         value = value or False
         assert value in (False, "xla", "pallas"), value
         return value

@@ -123,15 +123,19 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
     config).
 
     ``device_flood``: TPU-native extension — run the watershed flood
-    itself on device (approximate wavefront flood) instead of the exact
-    host heap. ``True`` selects the Pallas Gauss-Seidel kernel
-    (ops/pallas_flood) on a real TPU — measured ~3.5x faster than the
-    XLA Jacobi recurrence at the same oracle agreement — and the XLA
-    recurrence (ops/device_flood) elsewhere; ``"pallas"``/``"xla"``
-    force a kernel. Mask/threshold/seed selection stay exact; labels
-    agree ~97-99.7% with the exact flood — see
-    benchmarks/watershed_crossover.py for the latency/bandwidth curve.
-    Strictly opt-in (keyword or a ``"device_flood"`` JSON key).
+    itself on device instead of the exact host heap. ``True`` selects
+    the APPROXIMATE Pallas Gauss-Seidel kernel (ops/pallas_flood) on a
+    real TPU — measured ~3.5x faster than the XLA Jacobi recurrence at
+    the same oracle agreement — and the XLA recurrence
+    (ops/device_flood) elsewhere; ``"pallas"``/``"xla"`` force a
+    kernel (labels agree ~97-99.7% with the exact flood — see
+    benchmarks/watershed_crossover.py for the latency/bandwidth curve).
+    ``"exact"`` runs the hybrid certificate + host-repair flood
+    (ops/flood_exact): labels BIT-EQUAL to the host heap, with the bulk
+    certified on device and only the uncertain few percent re-flooded
+    on host (per-run fidelity telemetry lands in the profile dict).
+    Mask/threshold/seed selection stay exact in every mode. Strictly
+    opt-in (keyword or a ``"device_flood"`` JSON key).
     """
     unet = None
     affinities_extent = 1

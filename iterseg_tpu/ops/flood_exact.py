@@ -1,0 +1,355 @@
+"""Hybrid-exact device watershed: certificate + host repair.
+
+The sequential heap flood (reference ``watershed.py:95-159``; oracle
+``ops/watershed_oracle.affinity_flood_py``) claims each voxel from the
+*first neighbour to pop*, and pops happen in increasing **virtual time**
+``V(u) = max(V(claimer), val(u))`` (``val`` = the raw arc value pushed
+with) — so a voxel's label is schedule-independent unless exact f32 ties
+make the first-popping neighbour ambiguous.  This module makes that
+precise and exploitable:
+
+*Certificate* (device, XLA — sound):
+
+1. ``V_lb``: the minimax distance ``min over paths of max arc`` — a lower
+   bound on any schedule's virtual time (phase A; the classic monotone
+   recurrence).
+2. ``V_ub``: a decreasing fixed point of
+   ``V_ub(u) = max over possible claimers v of max(V_ub(v), w(v->u))``
+   where ``possible(v, u) = V_lb(v) <= min over nbrs w of V_ub(w)`` — an
+   upper bound on any schedule's virtual time (phase B).  Soundness: in
+   any schedule the claimer c satisfies ``V(c) = min over nbrs of V``,
+   hence ``V_lb(c) <= min V_ub`` — the true claimer is always inside the
+   filter, so the max over the filter bounds every schedule.
+3. Label propagation (phase C): ``rep`` = a deterministic representative
+   label; ``unc(u)`` = OR over possible claimers' ``unc``, OR "possible
+   claimers disagree in label".  By induction over any schedule's claim
+   order, the schedule's claimer is a possible claimer, so **voxels with
+   ``unc == False`` receive the same label under every consistent
+   schedule — including the reference heap**.  (Proof sketch: Lemma —
+   if ``V(a) < V(b)`` then ``a`` pops first, because ``b``'s chain holds
+   a pending entry of value ``V(b)`` that cannot pop while ``a``'s chain
+   keeps a pending entry of value ``<= V(a)``.  Hence the claimer
+   minimises actual ``V`` over the neighbours, which the interval filter
+   contains.)
+
+*Repair* (host, C++): the uncertain region ``R`` (``unc`` plus voxels
+whose V interval is not a point) is re-flooded by the exact heap
+restricted to ``R`` plus its certain boundary ``B``, with boundary seeds
+released at priority ``V(b)`` — across virtual-time classes this
+reproduces the full heap's pop order exactly.  *Within* an equal-V class
+the full heap's FIFO age order depends on global context that is not
+locally recoverable (the known age-unknowability of parallel heap
+simulation), so the repair runs under BOTH tie orders
+(``native.priority_flood_seeded(tie_reverse=...)``): if any label
+differs between the two schedules, or a label-certain voxel inside ``R``
+comes back different from its certificate label, the result is
+tie-order-sensitive and the caller falls back to the **full exact host
+flood** — correctness never regresses below the exact default.
+
+``exact_affinity_flood`` returns labels plus a telemetry dict
+(uncertain fraction, repair/fallback path taken) — the per-run fidelity
+signal the approximate ``device_flood`` modes lack.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device_flood import _BIG, _shift
+
+__all__ = [
+    "certificate_flood_jit",
+    "certificate_flood",
+    "exact_affinity_flood",
+]
+
+
+def _neighbour_views(arrs, fills):
+    """For each array, the 6 face-neighbour views in footprint raster
+    order (z-, y-, x-, x+, y+, z+); returns a list of 6 tuples."""
+    ndim = arrs[0].ndim
+    out = []
+    for a in range(ndim):
+        out.append(tuple(_shift(x, a, 1, f) for x, f in zip(arrs, fills)))
+    for a in reversed(range(ndim)):
+        out.append(tuple(_shift(x, a, -1, f) for x, f in zip(arrs, fills)))
+    return out
+
+
+def _edge_weights(affinities, ndim):
+    """weights[k][u] = arc value entering u from direction k (the
+    oracle's aff_off table: stored at the higher index)."""
+    aff = affinities.astype(jnp.float32)
+    weights = [aff[a] for a in range(ndim)]
+    weights += [_shift(aff[a], a, -1, _BIG) for a in reversed(range(ndim))]
+    return weights
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "check_every")
+)
+def certificate_flood_jit(affinities, seeds, mask, max_iters=1024,
+                          check_every=8):
+    """Jitted certificate: returns ``(rep, unc, v_lb, v_ub, converged)``.
+
+    ``rep`` int32 labels (exact on ``~unc`` voxels, see module doc),
+    ``unc`` bool, ``v_lb``/``v_ub`` f32 virtual-time bounds.  All
+    arithmetic is exact f32 selection (min/max/compare) — no rounding.
+    """
+    mask = mask.astype(bool)
+    shape = mask.shape
+    ndim = len(shape)
+    weights = _edge_weights(affinities, ndim)
+    seeded = (seeds > 0) & mask
+    frozen = seeded | ~mask
+    lab_seed = jnp.where(seeded, seeds, 0).astype(jnp.int32)
+    idx = jnp.arange(mask.size, dtype=jnp.int32).reshape(shape)
+
+    def run(step, state0):
+        def cond(state):
+            return state[-1] & (state[-2] < max_iters)
+
+        def body(state):
+            for _ in range(check_every):
+                state = step(state)
+            return state
+
+        state = jax.lax.while_loop(cond, body, state0)
+        still = step(state)[-1]
+        return state, jnp.logical_not(still)
+
+    # ---- phase A: V_lb = minimax distance (monotone decreasing) ----
+    v0 = jnp.where(seeded, jnp.float32(0.0), _BIG)
+
+    def step_a(state):
+        v, it, _ = state
+        best = v
+        for k, (v_n,) in enumerate(_neighbour_views([v], [_BIG])):
+            best = jnp.minimum(best, jnp.maximum(v_n, weights[k]))
+        v_new = jnp.where(frozen, v0, jnp.where(mask, best, _BIG))
+        changed = jnp.any(v_new != v)
+        return v_new, it + 1, changed
+
+    (v_lb, it_a, _), conv_a = run(step_a, (v0, jnp.int32(0),
+                                           jnp.bool_(True)))
+
+    # ---- phase B: joint [V_lb, V_ub] interval iteration ----
+    # The actual claim recurrence is V(u) = max(V(c), w_c) with
+    # c = the argmin-V neighbour, so with possible(v) = "V_lb(v) <=
+    # min over nbrs of V_ub" (contains the true claimer in every
+    # schedule):
+    #   V_lb(u) = max(min_v V_lb(v),  min over possible v of w_v)
+    #   V_ub(u) = max(min_v V_ub(v),  max over possible v of w_v)
+    # lb rises / ub falls monotonically (possible sets shrink), both
+    # stay sound by induction on the lb <= V* <= ub invariant.  Phase
+    # A's minimax distance is the valid (and cheap) lb start.
+    def step_b(state):
+        lb, ub, it, _ = state
+        nbrs = _neighbour_views([lb, ub], [_BIG, _BIG])
+        m_high = jnp.full(shape, _BIG)
+        for (_lb_n, ub_n) in nbrs:
+            m_high = jnp.minimum(m_high, ub_n)
+        m_low = jnp.full(shape, _BIG)  # min lb over POSSIBLE claimers
+        w_min = jnp.full(shape, _BIG)
+        w_max = jnp.full(shape, -_BIG)
+        any_poss = jnp.zeros(shape, bool)
+        for k, (lb_n, ub_n) in enumerate(nbrs):
+            poss = (lb_n <= m_high) & (lb_n < _BIG)
+            m_low = jnp.where(poss, jnp.minimum(m_low, lb_n), m_low)
+            w_min = jnp.where(poss, jnp.minimum(w_min, weights[k]), w_min)
+            w_max = jnp.where(poss, jnp.maximum(w_max, weights[k]), w_max)
+            any_poss = any_poss | poss
+        lb_cand = jnp.where(any_poss, jnp.maximum(m_low, w_min), lb)
+        ub_cand = jnp.where(any_poss, jnp.maximum(m_high, w_max), _BIG)
+        lb_new = jnp.where(frozen, v0,
+                           jnp.where(mask, jnp.maximum(lb, lb_cand), _BIG))
+        ub_new = jnp.where(frozen, v0,
+                           jnp.where(mask, jnp.minimum(ub, ub_cand), _BIG))
+        changed = jnp.any((lb_new != lb) | (ub_new != ub))
+        return lb_new, ub_new, it + 1, changed
+
+    (v_lb, v_ub, it_b, _), conv_b = run(
+        step_b, (v_lb, jnp.where(seeded, jnp.float32(0.0), _BIG),
+                 jnp.int32(0), jnp.bool_(True))
+    )
+
+    # final possible-claimer filter threshold (fixed from here on)
+    m_high = jnp.full(shape, _BIG)
+    for (u_n,) in _neighbour_views([v_ub], [_BIG]):
+        m_high = jnp.minimum(m_high, u_n)
+
+    # ---- phase C: rep labels + uncertainty (monotone in unc) ----
+    def step_c(state):
+        rep, unc, it, _ = state
+        nbrs = _neighbour_views(
+            [rep, unc, v_lb, idx], [jnp.int32(0), False, _BIG,
+                                    jnp.int32(0)]
+        )
+        best_key_v = jnp.full(shape, _BIG)
+        best_key_i = jnp.zeros(shape, jnp.int32)
+        best_rep = jnp.zeros(shape, jnp.int32)
+        seen_lab = jnp.zeros(shape, jnp.int32)
+        disagree = jnp.zeros(shape, bool)
+        poss_unc = jnp.zeros(shape, bool)
+        for (rep_n, unc_n, lb_n, idx_n) in nbrs:
+            poss = (lb_n <= m_high) & (lb_n < _BIG)
+            labd = poss & (rep_n > 0)
+            # deterministic representative: the (V_lb, index)-min
+            # labelled possible claimer
+            better = labd & (
+                (lb_n < best_key_v)
+                | ((lb_n == best_key_v) & (idx_n < best_key_i))
+            )
+            best_key_v = jnp.where(better, lb_n, best_key_v)
+            best_key_i = jnp.where(better, idx_n, best_key_i)
+            best_rep = jnp.where(better, rep_n, best_rep)
+            disagree = disagree | (
+                labd & (seen_lab > 0) & (rep_n != seen_lab)
+            )
+            seen_lab = jnp.where(labd & (seen_lab == 0), rep_n, seen_lab)
+            poss_unc = poss_unc | (poss & unc_n)
+        unc_new = unc | disagree | poss_unc
+        unc_new = jnp.where(frozen, False, unc_new & mask)
+        # freeze rep once uncertain (its value is repair territory; the
+        # freeze kills label oscillation around possible-claimer cycles)
+        rep_new = jnp.where(
+            frozen, lab_seed,
+            jnp.where(mask & ~unc, best_rep, rep),
+        )
+        rep_new = jnp.where(mask, rep_new, 0)
+        changed = jnp.any((rep_new != rep) | (unc_new != unc))
+        return rep_new, unc_new, it + 1, changed
+
+    (rep, unc, it_c, _), conv_c = run(
+        step_c, (lab_seed, jnp.zeros(shape, bool), jnp.int32(0),
+                 jnp.bool_(True))
+    )
+    return rep, unc, v_lb, v_ub, conv_a & conv_b & conv_c
+
+
+def certificate_flood(affinities, marker_coords, mask, max_iters=1024):
+    """NumPy-facing certificate (oracle calling convention: seeds take
+    labels 1..n in row order).  Returns ``(rep, unc, v_lb, v_ub,
+    converged)`` as numpy arrays."""
+    mask = np.asarray(mask).astype(bool)
+    seeds = np.zeros(mask.shape, np.int32)
+    mc = np.asarray(marker_coords)
+    if len(mc):
+        seeds[tuple(mc.T)] = np.arange(1, len(mc) + 1, dtype=np.int32)
+    rep, unc, v_lb, v_ub, conv = certificate_flood_jit(
+        jnp.asarray(np.asarray(affinities, np.float32)),
+        jnp.asarray(seeds), jnp.asarray(mask), max_iters=max_iters,
+    )
+    return (np.asarray(rep), np.asarray(unc), np.asarray(v_lb),
+            np.asarray(v_ub), bool(conv))
+
+
+def _full_host_flood(affinities, marker_coords, mask):
+    from .watershed import affinity_watershed
+
+    return affinity_watershed(affinities, marker_coords, mask)
+
+
+def repair_region(rep, unc):
+    """The repair set R (= the label-uncertain voxels) and its
+    label-certain labelled boundary B, as boolean arrays."""
+    labelled = rep > 0
+    R = unc
+    # dilate R by one face-neighbour step
+    grow = R.copy()
+    for a in range(R.ndim):
+        grow[tuple(slice(None, -1) if i == a else slice(None)
+                   for i in range(R.ndim))] |= R[
+            tuple(slice(1, None) if i == a else slice(None)
+                  for i in range(R.ndim))]
+        grow[tuple(slice(1, None) if i == a else slice(None)
+                   for i in range(R.ndim))] |= R[
+            tuple(slice(None, -1) if i == a else slice(None)
+                  for i in range(R.ndim))]
+    B = grow & ~R & labelled
+    return R, B
+
+
+def exact_affinity_flood(affinities, marker_coords, mask,
+                         certificate=None, telemetry=None):
+    """Labels bit-equal to the exact heap flood
+    (``watershed_oracle.affinity_flood_py`` semantics), computed as
+    device certificate + restricted host repair with dual-schedule
+    verification; falls back to the full host flood whenever exactness
+    cannot be certified (see module doc).
+
+    ``certificate``: optionally a precomputed ``(rep, unc, v_lb, v_ub,
+    converged)`` tuple (numpy), e.g. downloaded from a device program.
+    ``telemetry``: optional dict, filled with ``uncertain_frac``,
+    ``repair_frac``, ``path`` ("certified" | "repaired" | "fallback:*").
+    """
+    from .watershed_oracle import neighbor_offsets
+    from .. import native
+
+    mask = np.asarray(mask).astype(bool)
+    mc = np.asarray(marker_coords)
+    tele = telemetry if telemetry is not None else {}
+
+    if certificate is None:
+        certificate = certificate_flood(affinities, mc, mask)
+    rep, unc, v_lb, v_ub, conv = certificate
+    n_mask = int(mask.sum())
+    tele["uncertain_frac"] = (
+        float(unc.sum()) / n_mask if n_mask else 0.0
+    )
+    if not conv:
+        tele["path"] = "fallback:certificate-unconverged"
+        tele["repair_frac"] = 1.0
+        return _full_host_flood(affinities, mc, mask)
+
+    R, B = repair_region(rep, unc)
+    tele["repair_frac"] = float(R.sum()) / n_mask if n_mask else 0.0
+    labels = np.where(mask, rep, 0).astype(np.int32)
+    if not R.any():
+        tele["path"] = "certified"
+        return labels
+
+    shape = mask.shape
+    offsets, axes = neighbor_offsets(shape)
+    n_half = len(offsets) // 2
+    aff_off = offsets.copy()
+    aff_off[:n_half] = 0
+    flood_mask = (R | B).ravel()
+    b_idx = np.flatnonzero(B.ravel()).astype(np.int64)
+    lb_b = v_lb.ravel()[b_idx].astype(np.float32)
+    ub_b = v_ub.ravel()[b_idx].astype(np.float32)
+    seed_ages = np.arange(len(b_idx), dtype=np.int64)
+    values = np.ascontiguousarray(
+        np.asarray(affinities, np.float32).reshape(len(shape), -1)
+    )
+
+    def restricted(seed_vals, tie_reverse):
+        out = np.where(B, rep, 0).astype(np.int32).ravel()
+        try:
+            native.priority_flood_seeded(
+                values, offsets, axes, aff_off, b_idx, seed_vals,
+                seed_ages, flood_mask, out, tie_reverse=tie_reverse,
+            )
+        except native.NativeUnavailable:
+            return None
+        return out.reshape(shape)
+
+    # dual-schedule sensitivity check: run under opposing tie orders
+    # AND at the two endpoints of V-ambiguous boundary release times;
+    # any label that differs is schedule-sensitive -> full-heap
+    # fallback (exactness never regresses)
+    out_fwd = restricted(lb_b, False)
+    out_rev = restricted(ub_b, True) if out_fwd is not None else None
+    r = R  # alias
+    if out_fwd is None or not np.array_equal(out_fwd[r], out_rev[r]):
+        tele["path"] = (
+            "fallback:no-native" if out_fwd is None
+            else "fallback:tie-sensitive"
+        )
+        return _full_host_flood(affinities, mc, mask)
+    labels[r] = out_fwd[r]
+    tele["path"] = "repaired"
+    return labels

@@ -1,0 +1,251 @@
+"""Hybrid-exact device flood (ops/flood_exact): certificate soundness +
+bit-exactness of the full hybrid against the sequential heap oracle.
+
+The certificate's contract is ABSOLUTE: on every voxel it does not mark
+uncertain, the representative label must equal the heap's — across
+fixture classes chosen to stress every tie mechanism (continuous white
+noise: chaotic pop order; quantised affinities: massed exact-value
+ties; duplicated-channel smooth fields: massed arc ties; distinct
+smooth channels: the production regime, where the uncertain set is
+0-1% and repair/certification succeeds without fallback).
+"""
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from iterseg_tpu.ops.flood_exact import (
+    certificate_flood,
+    exact_affinity_flood,
+)
+from iterseg_tpu.ops.watershed_oracle import affinity_flood_py
+
+from test_device_flood import make_case, smooth_case
+
+
+def prod_case(shape=(16, 48, 48), n=20, seed=0):
+    """Production-like fixture: three DISTINCT continuous affinity
+    channels (a trained U-Net emits distinct z/y/x affinities; exact
+    f32 arc collisions are rare there, unlike smooth_case's duplicated
+    channels)."""
+    r = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.float32)
+    pts = np.stack([r.integers(3, s - 3, size=n) for s in shape], 1)
+    vol[tuple(pts.T)] = 1.0
+    vol = ndi.gaussian_filter(vol, (1.5, 3, 3))
+    vol /= vol.max()
+    aff = np.stack([
+        ndi.gaussian_filter(
+            1.0 - vol + r.normal(0, 0.01, shape).astype(np.float32), 0.5
+        )
+        for _ in range(3)
+    ]).astype(np.float32)
+    mask = vol > 0.08
+    for a in range(3):
+        mask[(slice(None),) * a + (0,)] = False
+        mask[(slice(None),) * a + (-1,)] = False
+    mx = ndi.maximum_filter(vol, size=5)
+    seeds = np.argwhere((vol == mx) & mask)
+    return aff, seeds, mask
+
+
+ALL_FIXTURES = [
+    ("noise", lambda s: make_case(seed=s)),
+    ("quant", lambda s: make_case(seed=s, quantised=True)),
+    ("smooth", lambda s: smooth_case(seed=s)),
+    ("prod", lambda s: prod_case(seed=s)),
+]
+
+
+class TestCertificateSoundness:
+    @pytest.mark.parametrize("name,fix", ALL_FIXTURES)
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_certain_voxels_match_heap(self, name, fix, seed):
+        """The core theorem: rep == heap label wherever unc is False."""
+        aff, coords, mask = fix(seed)
+        oracle = affinity_flood_py(aff, coords, mask.copy())
+        rep, unc, v_lb, v_ub, conv = certificate_flood(aff, coords, mask)
+        assert conv
+        certain = ~unc & mask
+        np.testing.assert_array_equal(rep[certain], oracle[certain])
+        # V bounds are a true interval
+        assert (v_lb[mask] <= v_ub[mask]).all()
+        # seeds are always certain with their own ids
+        np.testing.assert_array_equal(
+            rep[tuple(coords.T)], np.arange(1, len(coords) + 1)
+        )
+        assert not unc[tuple(coords.T)].any()
+
+    def test_uncertainty_small_on_production_class(self):
+        """The value proposition: on distinct-channel continuous
+        affinities the uncertain set is tiny (measured 0-1.1% at commit
+        time), so the repair download/flood is marginal."""
+        fracs = []
+        for s in range(3):
+            aff, coords, mask = prod_case(seed=s)
+            _, unc, _, _, conv = certificate_flood(aff, coords, mask)
+            assert conv
+            fracs.append(unc.sum() / mask.sum())
+        assert np.mean(fracs) < 0.05, fracs
+
+    def test_unreached_voxels_certain_zero(self):
+        aff, coords, mask = make_case(seed=0)
+        # wall off a slab so part of the mask is unreachable
+        mask = mask.copy()
+        mask[:, 10, :] = False
+        keep = coords[:, 1] < 10
+        coords = coords[keep]
+        oracle = affinity_flood_py(aff, coords, mask.copy())
+        rep, unc, v_lb, _, conv = certificate_flood(aff, coords, mask)
+        assert conv
+        unreached = mask & (oracle == 0)
+        assert not unc[unreached].any()
+        assert (rep[unreached] == 0).all()
+        assert np.isinf(v_lb[unreached]).all()
+
+
+class TestExactFlood:
+    @pytest.mark.parametrize("name,fix", ALL_FIXTURES)
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_bit_exact_vs_heap(self, name, fix, seed):
+        """The headline contract: exact_affinity_flood ==
+        affinity_flood_py, bit for bit, on every fixture class —
+        including the ones that force the tie-sensitivity fallback."""
+        aff, coords, mask = fix(seed)
+        oracle = affinity_flood_py(aff, coords, mask.copy())
+        tele = {}
+        got = exact_affinity_flood(aff, coords, mask, telemetry=tele)
+        np.testing.assert_array_equal(got, oracle)
+        assert tele["path"] in (
+            "certified", "repaired", "fallback:tie-sensitive",
+            "fallback:no-native",
+        )
+
+    def test_production_class_avoids_fallback(self):
+        """On the production fixture class the hybrid must actually pay
+        off: no full-heap fallback (certified or locally repaired)."""
+        paths = []
+        for s in range(3):
+            aff, coords, mask = prod_case(seed=s)
+            tele = {}
+            oracle = affinity_flood_py(aff, coords, mask.copy())
+            got = exact_affinity_flood(aff, coords, mask, telemetry=tele)
+            np.testing.assert_array_equal(got, oracle)
+            paths.append(tele["path"])
+        assert all(p in ("certified", "repaired") for p in paths), paths
+
+    def test_empty_seeds(self):
+        aff, coords, mask = make_case(seed=1)
+        got = exact_affinity_flood(aff, coords[:0], mask)
+        assert (got == 0).all()
+
+    def test_telemetry_fields(self):
+        aff, coords, mask = prod_case(seed=1)
+        tele = {}
+        exact_affinity_flood(aff, coords, mask, telemetry=tele)
+        assert set(tele) >= {"uncertain_frac", "repair_frac", "path"}
+        assert 0.0 <= tele["uncertain_frac"] <= 1.0
+
+
+class TestPipelineExactFlood:
+    """device_flood="exact" through AffinityPipeline._finalize — the
+    production integration must be BIT-EQUAL to the default host path
+    (not just support/id-set equal, unlike the approximate modes)."""
+
+    def _outs(self, seed=0, shape=(16, 40, 40), n=16):
+        import jax.numpy as jnp
+
+        r = np.random.default_rng(seed)
+        vol = np.zeros(shape, np.float32)
+        pts = np.stack([r.integers(3, s - 3, size=n) for s in shape], 1)
+        vol[tuple(pts.T)] = 1.0
+        vol = ndi.gaussian_filter(vol, (1.5, 3, 3))
+        vol /= vol.max()
+        aff = np.stack([
+            ndi.gaussian_filter(
+                1.0 - vol + r.normal(0, 0.01, shape).astype(np.float32),
+                0.5,
+            )
+            for _ in range(3)
+        ]).astype(np.float32)
+        aff_pad = jnp.asarray(np.pad(aff, ((0, 0),) + ((1, 1),) * 3))
+        mask = vol > 0.08
+        peaks = np.argwhere(
+            (vol == ndi.maximum_filter(vol, size=5)) & mask
+        )
+        order = np.zeros(256, np.int64)
+        flat = np.ravel_multi_index(tuple(peaks.T), shape)
+        order[:len(flat)] = flat
+        outs = (aff_pad, jnp.asarray(np.packbits(mask.ravel())),
+                jnp.asarray(order), jnp.int32(len(flat)),
+                jnp.float32(0.08), jnp.asarray(vol))
+        return shape, outs
+
+    def test_finalize_bit_exact(self):
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        shape, outs = self._outs(seed=5)
+        host = AffinityPipeline(None, cand_capacity=256)
+        dev = AffinityPipeline(None, cand_capacity=256,
+                               device_flood="exact")
+        assert dev.device_flood == "exact"
+        prof = {}
+        labels_host = host._finalize(shape, outs)
+        labels_dev = dev._finalize(shape, outs, profile=prof)
+        np.testing.assert_array_equal(labels_dev, labels_host)
+        # telemetry: the per-run fidelity signal
+        assert "flood_uncertain_frac" in prof
+        assert prof["flood_exact_path"] in (
+            "certified", "repaired", "fallback:tie-sensitive",
+        )
+
+    def test_finalize_bit_exact_many_seeds(self):
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        for s in (7, 8):
+            shape, outs = self._outs(seed=s)
+            host = AffinityPipeline(None, cand_capacity=256)
+            dev = AffinityPipeline(None, cand_capacity=256,
+                                   device_flood="exact")
+            np.testing.assert_array_equal(
+                dev._finalize(shape, outs), host._finalize(shape, outs)
+            )
+
+    def test_out_buffer(self):
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        shape, outs = self._outs(seed=9)
+        dev = AffinityPipeline(None, cand_capacity=256,
+                               device_flood="exact")
+        a = dev._finalize(shape, outs)
+        out = np.zeros(int(np.prod([s + 2 for s in shape])), np.int32)
+        b = dev._finalize(shape, outs, out=out)
+        np.testing.assert_array_equal(a, b)
+
+    def test_registry_plumbing(self):
+        """``affinity_unet_watershed(..., device_flood="exact")``
+        reaches the pipeline and stays bit-equal to the default."""
+        from iterseg_tpu.engine.segmentation import segmenters
+        from iterseg_tpu.models.unet import UNetSpec, init_params
+        from iterseg_tpu.models.convert import save_checkpoint
+
+        r = np.random.default_rng(11)
+        shape = (10, 64, 64)
+        vol = np.zeros(shape, np.float32)
+        pts = np.stack([r.integers(2, s - 2, size=20) for s in shape], 1)
+        vol[tuple(pts.T)] = 1.0
+        vol = ndi.gaussian_filter(vol, (1, 2, 2))
+        vol /= vol.max()
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            ck = save_checkpoint(
+                init_params(UNetSpec(1, 5), seed=0),
+                os.path.join(td, "u.npz"),
+            )
+            kw = dict(chunk_size=(10, 64, 64), margin=(1, 8, 8),
+                      debug=True)
+            ref = segmenters["affinity-unet-watershed"](
+                None, vol, None, "a", ck, **kw)
+            got = segmenters["affinity-unet-watershed"](
+                None, vol, None, "b", ck, device_flood="exact", **kw)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
