@@ -119,14 +119,30 @@ def _pick_batch_size(n_chunks: int, chunk_shape, out_channels: int) -> int:
     the larger B. Both ``predict_volume`` and the device pipelines resolve
     through this one function, so the compiled program (and hence the
     numerics) stays identical across the fast and generic paths.
+
+    The batch cap is bandwidth-adaptive (``engine.linkprobe``): B=16 is
+    the pure-compute optimum (0.505 s vs B=8's 0.55 s on chip) but
+    halves the upload/compute overlap granularity, so it only wins on
+    fast links — the cap is 8 below the measured threshold (and
+    wherever no real link exists to probe), 16 at/above it.
     """
+    from .linkprobe import MEASURED, measure_link_mbps
+
     voxels = int(np.prod(chunk_shape))
     # dominant activation: 32 channels at full resolution, f32, x2 for
     # encoder+decoder copies
     bytes_per_item = voxels * 32 * 4 * 4
-    budget = 4 << 30  # B=8 at the 256³ geometry measured well within HBM
+    # B=16 at the 256³ geometry estimates ~5 GB by this (conservative)
+    # model and measured-compiles comfortably on a 16 GB chip (B=32 does
+    # not); 8 GB admits the fast-link cap while still bounding growth
+    budget = 8 << 30
     b_mem = max(1, budget // max(bytes_per_item, 1))
-    b_max = int(min(b_mem, n_chunks, 8))
+    mbps = measure_link_mbps()
+    cap = (MEASURED["microbatch_fast_link"]
+           if mbps is not None
+           and mbps >= MEASURED["microbatch_threshold_mbps"]
+           else MEASURED["microbatch_slow_link"])
+    b_max = int(min(b_mem, n_chunks, cap))
     best, best_cost = 1, float("inf")
     for b in range(1, b_max + 1):
         padded = -(-n_chunks // b) * b
