@@ -209,6 +209,40 @@ def _cached_dog_flood(pshape, cap, wide, kernel="xla"):
     return _GATHER_CACHE[key]
 
 
+def _cached_flood_telemetry(pshape, cap):
+    """Device program for the approximate modes' per-run fidelity bound:
+    run the certificate and compare the flood's labels against the
+    certified representative on the CERTAIN voxels — only three counts
+    download.  Rigorous bound (triangle inequality through ``rep``):
+    the heap equals ``rep`` on certain voxels, so
+    ``flood != heap  ⊆  uncertain ∪ (flood != rep on certain)``."""
+    key = ("flood_telemetry", pshape, cap)
+    if key not in _GATHER_CACHE:
+        from ..ops.flood_exact import certificate_flood_jit
+
+        psize = int(np.prod(pshape))
+
+        @jax.jit
+        def fn(bits, coords, labs, aff_pad, lab_flood):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits MSB
+            flat = ((bits[:, None] >> shifts) & 1).reshape(-1)[:psize]
+            mask = flat.astype(bool).reshape(pshape)
+            seeds = jnp.zeros(pshape, jnp.int32).at[
+                coords[:, 0], coords[:, 1], coords[:, 2]
+            ].max(labs)
+            rep, unc, _lb, _ub, conv = certificate_flood_jit(
+                aff_pad, seeds, mask
+            )
+            certain = mask & ~unc
+            mism = certain & (lab_flood.astype(jnp.int32) != rep)
+            return (jnp.sum(unc).astype(jnp.int32),
+                    jnp.sum(mism).astype(jnp.int32),
+                    jnp.sum(mask).astype(jnp.int32), conv)
+
+        _GATHER_CACHE[key] = fn
+    return _GATHER_CACHE[key]
+
+
 def _cached_exact_cert(pshape, cap, wide):
     """Device program for ``device_flood="exact"``: unpack the filtered
     mask bits + scatter seeds (as ``_cached_flood_prep``), then run the
@@ -566,7 +600,8 @@ class AffinityPipeline:
     def __init__(self, model, chunk_size=(10, 256, 256),
                  margin=(1, 64, 64), absolute_thresh=None,
                  microbatch=None, cand_capacity: int = _CAND_CAP,
-                 normalize: bool = False, device_flood: bool = False):
+                 normalize: bool = False, device_flood: bool = False,
+                 flood_telemetry: bool = False):
         self.model = model
         self.chunk_size = tuple(chunk_size)
         self.margin = tuple(margin)
@@ -589,6 +624,16 @@ class AffinityPipeline:
         # selection stay exact in every mode
         # (benchmarks/watershed_crossover.py has the measured curves).
         self.device_flood = self.normalize_device_flood(device_flood)
+        # opt-in per-run fidelity telemetry for the APPROXIMATE flood
+        # modes: runs the exactness certificate (ops/flood_exact)
+        # alongside the flood and reports flood_uncertain_frac in the
+        # profile dict — a RIGOROUS upper bound on the fraction of
+        # voxels whose label can differ from the exact heap (the device
+        # flood and the heap are both consistent schedules; they can
+        # only disagree inside the certificate's uncertain set). Costs
+        # roughly one extra device pass-set per volume; "exact" mode
+        # reports it inherently.
+        self.flood_telemetry = bool(flood_telemetry)
         self._programs = {}
         # (pshape, buffer): the most-recent shape's scatter buffer only —
         # ragged 4D stacks would otherwise pin ~200 MB per distinct shape
@@ -775,6 +820,31 @@ class AffinityPipeline:
             lab_wire.copy_to_host_async()
         except AttributeError:
             pass
+        if self.flood_telemetry and profile is not None:
+            # rigorous per-run fidelity bound: the heap equals the
+            # certificate's rep on certain voxels, so this flood can
+            # differ from the heap only inside the uncertain set or
+            # where it differs from rep on certain voxels (the claim
+            # recurrences can carry stale labels at unchanged keys, so
+            # the second term is not always zero) — three counts ship
+            unc_n, mism_n, mask_n, cconv = _cached_flood_telemetry(
+                pshape, cap
+            )(jnp.asarray(bits), jnp.asarray(coords), jnp.asarray(labs),
+              aff_pad, lab_dev)
+            unc_n, mism_n, mask_n = (int(unc_n), int(mism_n),
+                                     int(mask_n))
+            profile["flood_uncertain_frac"] = (
+                unc_n / mask_n if mask_n else 0.0
+            )
+            profile["flood_mismatch_certain_frac"] = (
+                mism_n / mask_n if mask_n else 0.0
+            )
+            profile["flood_disagreement_bound"] = (
+                (unc_n + mism_n) / mask_n if mask_n else 0.0
+            )
+            profile["flood_mask_voxels"] = mask_n
+            profile["flood_certificate_converged"] = bool(cconv)
+            t0 = tick("flood_telemetry", t0)
         if not bool(conv):  # blocks on the flood; label D2H runs behind
             return None
         t0 = tick("device_flood", t0)

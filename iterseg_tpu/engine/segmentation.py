@@ -105,7 +105,8 @@ def dog_image(input_vol, sigma_min, sigma_max):
 
 def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
                                    reference_layer, compute_dtype=None,
-                                   device_flood=None):
+                                   device_flood=None,
+                                   flood_telemetry=None):
     """Resolve the U-Net source and allocate the scratch feature volume.
 
     Parity with ``affinity_watershed_prep_config`` (segmentation.py:80-135),
@@ -150,6 +151,8 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
                 compute_dtype = config.get("compute_dtype")
             if device_flood is None:
                 device_flood = config.get("device_flood")
+            if flood_telemetry is None:
+                flood_telemetry = config.get("flood_telemetry")
             if unet == "labels layer":
                 unet = reference_layer.metadata["unet"]
             if unet == "default":
@@ -174,7 +177,8 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
         (num_pred_channels,) + tuple(data.shape[-3:]), dtype=np.float32
     )
     return {"unet": model, "output_volume": output_volume,
-            "pipeline_cache": {}, "device_flood": device_flood or False}
+            "pipeline_cache": {}, "device_flood": device_flood or False,
+            "flood_telemetry": bool(flood_telemetry)}
 
 
 def affinity_watershed_for_chunks(
@@ -187,6 +191,8 @@ def affinity_watershed_for_chunks(
     pipeline_cache=None,
     use_device_pipeline=True,
     device_flood=False,
+    flood_telemetry=False,
+    profile=None,
     **kwargs,
 ):
     """Per-volume process: batched U-Net inference + affinity watershed
@@ -211,16 +217,19 @@ def affinity_watershed_for_chunks(
             pipeline_cache = {}
         # normalized so True and its resolved kernel name share one entry
         device_flood = AffinityPipeline.normalize_device_flood(device_flood)
-        key = (tuple(chunk_size), tuple(margin), device_flood)
+        key = (tuple(chunk_size), tuple(margin), device_flood,
+               bool(flood_telemetry))
         if key not in pipeline_cache:
             pipeline_cache[key] = AffinityPipeline(
                 unet, chunk_size=chunk_size, margin=margin,
                 device_flood=device_flood,
+                flood_telemetry=flood_telemetry,
             )
         # the flood writes straight into the padded label buffer, exactly
         # like the generic path's out=current_output.ravel()
         pipeline_cache[key].segment(input_volume,
-                                    out=current_output.ravel())
+                                    out=current_output.ravel(),
+                                    profile=profile)
         return
     if output_volume is None:
         raise ValueError("output_volume must not be None")
@@ -352,6 +361,8 @@ def dog_blob_watershed_for_chunks(
     pipeline_cache=None,
     use_device_pipeline=True,
     device_flood=False,
+    flood_telemetry=False,
+    profile=None,
     **kwargs,
 ):
     """Whole-volume DoG blob segmentation (parity: segmentation.py:592-650).
@@ -379,7 +390,11 @@ def dog_blob_watershed_for_chunks(
                 min_sigma=min_sigma, max_sigma=max_sigma,
                 threshold=threshold, device_flood=device_flood,
             )
-        pipeline_cache[key].segment(input_volume, out=current_output)
+        # flood_telemetry: affinity-only for now (the certificate's
+        # semantics are the affinity heap's; no image-flood certificate
+        # yet) — accepted here so configs stay uniform, ignored
+        pipeline_cache[key].segment(input_volume, out=current_output,
+                                    profile=profile)
         return
     input_volume = np.pad(input_volume, pad_width=1)
     dog = dog_image(input_volume, min_sigma, max_sigma)

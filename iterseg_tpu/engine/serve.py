@@ -102,11 +102,24 @@ class SegmentationServer:
         output_labels = seg.allocate_labels_store(
             save_path, shape, self.chunk_size, name,
         )
+        # fresh per-volume profile so flood telemetry (device_flood /
+        # flood_telemetry modes) surfaces in the serve log
+        profile = {}
+        config = dict(config)
+        config["profile"] = profile
         for t in seg.segmentation_loop(
             None, layer.data, self.chunk_size, self.margin, output_labels,
             self._fn, config,
         ):
             print(f"Segmented t = {t}", flush=True)
+        if "flood_uncertain_frac" in profile:
+            print(
+                "flood fidelity: uncertain_frac="
+                f"{profile['flood_uncertain_frac']:.4f}"
+                + (f" path={profile['flood_exact_path']}"
+                   if "flood_exact_path" in profile else ""),
+                flush=True,
+            )
         return output_labels
 
 

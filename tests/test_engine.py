@@ -565,8 +565,10 @@ class TestDeviceFloodCacheKey:
         assert AffinityPipeline.normalize_device_flood("pallas") == "pallas"
         assert DoGPipeline.normalize_device_flood(True) == "xla"
         assert DoGPipeline.normalize_device_flood(None) is False
+        # round 4: the Pallas image kernel exists — "pallas" is valid
+        assert DoGPipeline.normalize_device_flood("pallas") == "pallas"
         with pytest.raises(AssertionError):
-            DoGPipeline.normalize_device_flood("pallas")
+            DoGPipeline.normalize_device_flood("cuda")
 
     def test_dog_cache_shared_between_true_and_xla(self, monkeypatch):
         from iterseg_tpu.engine import device_pipeline as dp

@@ -221,6 +221,31 @@ class TestPipelineExactFlood:
         b = dev._finalize(shape, outs, out=out)
         np.testing.assert_array_equal(a, b)
 
+    def test_approximate_mode_telemetry(self):
+        """flood_telemetry=True on an APPROXIMATE device_flood mode
+        reports the certificate's uncertain fraction — a rigorous bound
+        on possible disagreement with the exact heap (VERDICT r3 #8)."""
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        shape, outs = self._outs(seed=5)
+        dev = AffinityPipeline(None, cand_capacity=256,
+                               device_flood="xla", flood_telemetry=True)
+        prof = {}
+        labels_dev = dev._finalize(shape, outs, profile=prof)
+        assert "flood_uncertain_frac" in prof
+        assert 0.0 <= prof["flood_uncertain_frac"] <= 1.0
+        assert prof["flood_certificate_converged"] is True
+        # the bound must actually bound: approximate labels differ from
+        # the exact host path on at most flood_disagreement_bound of
+        # the mask voxels (uncertain set + stale-label mismatches on
+        # certain voxels; the heap equals rep on certain voxels)
+        host = AffinityPipeline(None, cand_capacity=256)
+        labels_host = host._finalize(shape, outs)
+        n_disagree = int((labels_dev != labels_host).sum())
+        bound_voxels = (prof["flood_disagreement_bound"]
+                        * prof["flood_mask_voxels"])
+        assert n_disagree <= bound_voxels + 0.5, (n_disagree, prof)
+
     def test_registry_plumbing(self):
         """``affinity_unet_watershed(..., device_flood="exact")``
         reaches the pipeline and stays bit-equal to the default."""
