@@ -2,8 +2,12 @@
 
 Replaces the reference's zarr/ome-zarr/dask stack (iterseg ``_io.py``) with
 tensorstore (its own optional fast path, ``_io.py:8-13,325-386``) as the
-*only* backend: async C++ chunk I/O feeding the device pipeline, no Python
-chunk loops.
+primary backend: async C++ chunk I/O feeding the device pipeline, no Python
+chunk loops.  Mirroring the reference's graceful degradation
+(``_io.py:8-13,373-385``), hosts without tensorstore fall back to the
+bundled pure-NumPy zarr v2 driver (``io/zarr_mini.py``: zlib-compressed
+stores, readable by tensorstore/zarr-python) with a one-time warning;
+``ITERSEG_TPU_NO_TENSORSTORE=1`` forces the fallback for testing.
 
 API parity surface: ``open_zarr``, ``save_labels_to_ome``, ``load_ome_zarr``,
 ``ome_metadata``, ``is_ome_labels``, ``ome_to_napari``, ``napari_to_ome``,
@@ -18,7 +22,31 @@ import pathlib
 from typing import Optional
 
 import numpy as np
-import tensorstore as ts
+
+try:
+    import tensorstore as ts
+except ImportError:  # pragma: no cover - this image ships tensorstore
+    ts = None
+
+_WARNED_FALLBACK = []
+
+
+def _backend():
+    """The active backend: tensorstore, or the mini driver (warn once,
+    like the reference's zarr fallback)."""
+    if ts is not None and not os.environ.get("ITERSEG_TPU_NO_TENSORSTORE"):
+        return ts
+    if not _WARNED_FALLBACK:
+        import warnings
+
+        warnings.warn(
+            "tensorstore is not available: falling back to the bundled "
+            "pure-python zarr driver (slower; writes zlib-compressed "
+            "zarr v2). Install tensorstore for production I/O.",
+            RuntimeWarning, stacklevel=3,
+        )
+        _WARNED_FALLBACK.append(True)
+    return None
 
 __all__ = [
     "ZarrArray",
@@ -111,16 +139,27 @@ def open_zarr(labels_file, *, shape=None, chunks=None, dtype=np.uint32):
     """
     path = str(labels_file)
     exists = os.path.exists(os.path.join(path, ".zarray"))
+    backend = _backend()
+    if backend is None:
+        from . import zarr_mini
+
+        if not exists:
+            if shape is None:
+                raise ValueError(
+                    f"no zarr at {path} and no shape to create one"
+                )
+            return zarr_mini.create(path, shape, chunks=chunks, dtype=dtype)
+        return zarr_mini.open_array(path)
     if not exists:
         if shape is None:
             raise ValueError(f"no zarr at {path} and no shape to create one")
-        store = ts.open(
+        store = backend.open(
             _spec(path, shape, chunks, dtype, create=True),
             create=True,
             open=True,
         ).result()
     else:
-        store = ts.open(_spec(path), open=True).result()
+        store = backend.open(_spec(path), open=True).result()
     return ZarrArray(store, path)
 
 

@@ -55,8 +55,24 @@ BN_MOMENTUM = 0.1
 
 
 def conv3d(x, w, b, padding=1):
-    """3x3x3 (or given) convolution, NCDHW x OIDHW, stride 1."""
+    """3x3x3 (or given) convolution, NCDHW x OIDHW, stride 1.
+
+    Single-input-channel convs zero-pad their OUTPUT channels to 64 and
+    slice back: measured ~8% faster on chip for the U-Net's 1->32 entry
+    conv (benchmarks/mxu_pad_probe.json — a layout effect; its
+    contraction is only 27, so this is not MXU lane fill, and the
+    dominant 32->32 convs measure FLAT-to-slower under padding: the
+    narrow-channel MFU ceiling is architectural). Bit-exact: the extra
+    filters are zero and each retained output channel's contraction is
+    unchanged (tests/test_unet.py pins equality).
+    """
     pad = ((padding, padding),) * 3 if isinstance(padding, int) else padding
+    cout = w.shape[0]
+    pad_out = 64 if (w.shape[1] == 1 and 0 < cout < 64) else cout
+    if pad_out != cout:
+        w = jnp.concatenate(
+            [w, jnp.zeros((pad_out - cout,) + w.shape[1:], w.dtype)]
+        )
     y = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -65,6 +81,8 @@ def conv3d(x, w, b, padding=1):
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
         preferred_element_type=jnp.float32,
     )
+    if pad_out != cout:
+        y = y[:, :cout]
     return y.astype(x.dtype) + b.reshape(1, -1, 1, 1, 1).astype(x.dtype)
 
 

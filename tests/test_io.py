@@ -1,6 +1,7 @@
 """tensorstore-backed zarr / OME-Zarr I/O tests."""
 import json
 import numpy as np
+import pytest
 
 from iterseg_tpu.io.zarr_io import (
     open_zarr,
@@ -258,3 +259,123 @@ def test_add_pyramid_levels_image_mean_and_floor(tmp_path):
 
     [(data, _, lt)] = load_ome_zarr(p)
     assert lt == "image" and isinstance(data, list) and len(data) == 2
+
+
+class TestZarrMiniFallback:
+    """The no-tensorstore fallback (io/zarr_mini): self-consistent
+    round-trips, cross-compat with tensorstore stores (zlib both ways),
+    and the forced-fallback gate in open_zarr."""
+
+    def test_roundtrip_and_rmw(self, tmp_path):
+        from iterseg_tpu.io import zarr_mini
+
+        r = np.random.default_rng(0)
+        data = r.integers(0, 1000, size=(3, 20, 33, 17)).astype(np.uint32)
+        arr = zarr_mini.create(tmp_path / "a.zarr", data.shape,
+                               chunks=(1, 8, 16, 16), dtype=np.uint32)
+        arr[...] = data
+        re = zarr_mini.open_array(tmp_path / "a.zarr")
+        np.testing.assert_array_equal(re[...], data)
+        # partial read-modify-write across chunk boundaries
+        arr[1, 5:15, 10:25, 3:12] = 7
+        data[1, 5:15, 10:25, 3:12] = 7
+        np.testing.assert_array_equal(arr[...], data)
+        # int indexing squeezes, like zarr/tensorstore
+        np.testing.assert_array_equal(arr[1], data[1])
+        assert arr[1].shape == data[1].shape
+        # fill value for never-written chunks
+        b = zarr_mini.create(tmp_path / "b.zarr", (10, 10), chunks=(4, 4),
+                             dtype=np.float32)
+        assert (b[...] == 0).all()
+
+    def test_tensorstore_reads_mini_store(self, tmp_path):
+        import tensorstore as ts
+
+        from iterseg_tpu.io import zarr_mini
+
+        r = np.random.default_rng(1)
+        data = r.random((9, 13, 21)).astype(np.float32)
+        arr = zarr_mini.create(tmp_path / "m.zarr", data.shape,
+                               chunks=(4, 8, 8), dtype=np.float32)
+        arr[...] = data
+        store = ts.open({
+            "driver": "zarr",
+            "kvstore": {"driver": "file", "path": str(tmp_path / "m.zarr")},
+        }, open=True).result()
+        np.testing.assert_array_equal(
+            np.asarray(store.read().result()), data
+        )
+
+    def test_mini_reads_tensorstore_zlib_store(self, tmp_path):
+        import tensorstore as ts
+
+        from iterseg_tpu.io import zarr_mini
+
+        r = np.random.default_rng(2)
+        data = r.integers(0, 99, size=(7, 18, 11)).astype(np.int32)
+        store = ts.open({
+            "driver": "zarr",
+            "kvstore": {"driver": "file", "path": str(tmp_path / "t.zarr")},
+            "metadata": {
+                "shape": list(data.shape), "chunks": [4, 8, 8],
+                "dtype": "<i4",
+                "compressor": {"id": "zlib", "level": 3},
+            },
+        }, create=True, open=True).result()
+        store.write(data).result()
+        arr = zarr_mini.open_array(tmp_path / "t.zarr")
+        np.testing.assert_array_equal(arr[...], data)
+
+    def test_blosc_store_names_the_fix(self, tmp_path):
+        from iterseg_tpu.io import zarr_io, zarr_mini
+
+        arr = zarr_io.open_zarr(tmp_path / "bl.zarr", shape=(6, 6),
+                                chunks=(3, 3), dtype=np.uint32)
+        arr[...] = np.uint32(5)
+        mini = zarr_mini.open_array(tmp_path / "bl.zarr")
+        with pytest.raises(ValueError, match="tensorstore"):
+            mini[...]
+
+    def test_open_zarr_forced_fallback(self, tmp_path, monkeypatch):
+        from iterseg_tpu.io import zarr_io, zarr_mini
+
+        monkeypatch.setenv("ITERSEG_TPU_NO_TENSORSTORE", "1")
+        zarr_io._WARNED_FALLBACK.clear()
+        with pytest.warns(RuntimeWarning, match="tensorstore"):
+            arr = zarr_io.open_zarr(tmp_path / "f.zarr", shape=(5, 8, 8),
+                                    chunks=(2, 4, 4), dtype=np.uint32)
+        assert isinstance(arr, zarr_mini.MiniZarrArray)
+        arr[2] = np.arange(64, dtype=np.uint32).reshape(8, 8)
+        # async shim behaves like the tensorstore future
+        arr.write_async((slice(0, 1),), np.ones((1, 8, 8), np.uint32)
+                        ).result()
+        monkeypatch.delenv("ITERSEG_TPU_NO_TENSORSTORE")
+        # the same store reopens through tensorstore (zlib-compatible)
+        ts_arr = zarr_io.open_zarr(tmp_path / "f.zarr")
+        np.testing.assert_array_equal(
+            ts_arr[2], np.arange(64, dtype=np.uint32).reshape(8, 8)
+        )
+        assert (ts_arr[0] == 1).all()
+
+    def test_ome_save_through_fallback(self, tmp_path, monkeypatch):
+        """The OME-Zarr writer path works on a tensorstore-less host."""
+        from iterseg_tpu.io import zarr_io
+
+        monkeypatch.setenv("ITERSEG_TPU_NO_TENSORSTORE", "1")
+        zarr_io._WARNED_FALLBACK.clear()
+        labels = np.arange(2 * 4 * 6 * 6).reshape(2, 4, 6, 6).astype(
+            np.uint32)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            arr = zarr_io.save_labels_to_ome(
+                str(tmp_path / "l.ome.zarr"), data=labels,
+                layer_meta={"scale": (1, 4, 1, 1),
+                            "translate": (0, 0, 0, 0), "name": "l"},
+            )
+        np.testing.assert_array_equal(arr[...], labels)
+        loaded = zarr_io.load_ome_zarr(str(tmp_path / "l.ome.zarr"))
+        (data, meta, kind) = loaded[0]
+        assert kind == "labels"
+        np.testing.assert_array_equal(np.asarray(data), labels)

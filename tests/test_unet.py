@@ -144,3 +144,30 @@ class TestOrbaxCheckpoint:
             np.testing.assert_array_equal(
                 np.asarray(loaded[k]), np.asarray(params[k])
             )
+
+
+class TestConvOutputPadding:
+    """The entry conv's output-channel padding (conv3d pads 1-in-channel
+    convs to 64 outputs and slices back; benchmarks/mxu_pad_probe.json)
+    must be numerically invisible."""
+
+    def test_padded_entry_conv_bit_equal(self):
+        import jax
+        import jax.numpy as jnp
+
+        from iterseg_tpu.models.unet import conv3d
+
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.standard_normal((2, 1, 6, 16, 16)).astype(
+            np.float32))
+        w = jnp.asarray(r.standard_normal((32, 1, 3, 3, 3)).astype(
+            np.float32))
+        b = jnp.asarray(r.standard_normal(32).astype(np.float32))
+        got = np.asarray(conv3d(x, w, b))
+        # reference: the plain narrow conv
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1, 1), padding=((1, 1),) * 3,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            preferred_element_type=jnp.float32,
+        ) + b.reshape(1, -1, 1, 1, 1)
+        np.testing.assert_array_equal(got, np.asarray(y))
