@@ -275,6 +275,48 @@ def _cached_exact_cert(pshape, cap, wide):
     return _GATHER_CACHE[key]
 
 
+def _cached_dog_exact_cert(pshape, cap, wide):
+    """Device program for the DoG pipeline's ``device_flood="exact"``:
+    the image-watershed certificate (``ops/flood_exact``) on the
+    device-resident EDT landscape.  The certificate (and the matching
+    host repair) flood on ``-d²`` — NOT ``-sqrt(d²)`` — because a
+    strictly monotone transform preserves every comparison AND every
+    exact tie, while ``-d²`` is an exact f32 integer on any platform
+    (TPU sqrt rounding can deviate by an ulp, which would silently
+    desynchronise the certificate from the host heap).  Equality with
+    the production ``-sqrt`` flood holds below the proven
+    ``native.BUCKET_FLOOD_MAX_KEY`` collision bound; the caller checks
+    the returned ``max_key`` and falls back past it.  Ships wire-dtype
+    rep labels + packed uncertainty; V bounds stay resident for the
+    (tiny) boundary gather."""
+    key = ("dog_exact_cert", pshape, cap, bool(wide))
+    if key not in _GATHER_CACHE:
+        from ..ops.flood_exact import image_certificate_flood_jit
+
+        psize = int(np.prod(pshape))
+        dtype = jnp.int32 if wide else jnp.uint16
+
+        @jax.jit
+        def fn(bits, dist_sq, coords, labs):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits MSB
+            flat = ((bits[:, None] >> shifts) & 1).reshape(-1)[:psize]
+            mask = flat.astype(bool).reshape(pshape)
+            seeds = jnp.zeros(pshape, jnp.int32).at[
+                coords[:, 0], coords[:, 1], coords[:, 2]
+            ].max(labs)
+            values = -dist_sq.astype(jnp.float32)
+            rep, unc, v_lb, v_ub, conv = image_certificate_flood_jit(
+                values, seeds, mask
+            )
+            max_key = jnp.max(jnp.where(mask, dist_sq, 0)).astype(
+                jnp.int32)
+            return (rep.astype(dtype), _pack_mask_bits(unc),
+                    v_lb, v_ub, conv, max_key)
+
+        _GATHER_CACHE[key] = fn
+    return _GATHER_CACHE[key]
+
+
 def _prepare_frame(raw):
     """Shared per-frame input contract of the 4D stack paths: returns
     ``(vol, kept, device_normalize)``.
@@ -1257,7 +1299,7 @@ class DoGPipeline:
             else:
                 value = "xla"
         value = value or False
-        assert value in (False, "xla", "pallas"), value
+        assert value in (False, "xla", "pallas", "exact"), value
         return value
 
     def __init__(self, min_sigma=1, max_sigma=1.5, threshold=0.02,
@@ -1410,6 +1452,130 @@ class DoGPipeline:
         yield from _drive_stack(stack, output_labels, skip_labelled,
                                 devices, dispatch_one, finalize_one)
 
+    def _flood_exact(self, mask_packed, dist_sq, cs, ls, scap, n_ids,
+                     pshape, profile=None):
+        """``device_flood="exact"`` for the DoG path: image-watershed
+        certificate on the device-resident ``-d²`` landscape + restricted
+        host repair (``ops/flood_exact``; see ``_cached_dog_exact_cert``
+        for why ``-d²`` and not ``-sqrt``).  Returns int32 labels of
+        ``pshape`` BIT-EQUAL to the default host flood, or ``None`` to
+        fall back (unconverged / past the sqrt-collision bound /
+        tie-sensitive repair)."""
+        import time as _time
+
+        from .. import native
+        from ..ops.flood_exact import dual_schedule_repair
+        from ..ops.watershed_oracle import neighbor_offsets
+
+        def tick(name, t0):
+            if profile is not None:
+                profile[name] = profile.get(name, 0.0) + (
+                    _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        t0 = _time.perf_counter()
+        rep_dev, unc_bits, v_lb_dev, v_ub_dev, conv, max_key = (
+            _cached_dog_exact_cert(pshape, scap, wide=n_ids >= 2 ** 16)(
+                mask_packed, dist_sq, jnp.asarray(cs), jnp.asarray(ls)
+            )
+        )
+        for a in (rep_dev, unc_bits):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        if not bool(conv):
+            if profile is not None:
+                profile["flood_exact_path"] = "fallback:unconverged"
+            return None
+        if int(max_key) >= native.BUCKET_FLOOD_MAX_KEY:
+            # past this bound distinct d² can collide in the f32 -sqrt
+            # priorities the production flood uses, so the -d² flood is
+            # no longer provably order-equal — take the host path (which
+            # handles the collision regime with the exact heap)
+            if profile is not None:
+                profile["flood_exact_path"] = "fallback:sqrt-collision"
+            return None
+        rep = np.asarray(rep_dev).astype(np.int32)
+        unc = np.unpackbits(np.asarray(unc_bits))[:rep.size].view(
+            np.bool_
+        ).reshape(pshape)
+        t0 = tick("device_flood", t0)
+        # the certificate ran on the packed mask; reconstruct it for the
+        # repair's telemetry/denominator (cheap host unpack)
+        nvox = int(np.prod(pshape))
+        mask = np.unpackbits(np.asarray(mask_packed))[:nvox].view(
+            np.bool_
+        ).reshape(pshape)
+        n_mask = int(mask.sum())
+        if profile is not None:
+            profile["flood_uncertain_frac"] = (
+                float(unc.sum()) / n_mask if n_mask else 0.0
+            )
+        if not unc.any():
+            if profile is not None:
+                profile["flood_exact_path"] = "certified"
+            return np.where(mask, rep, 0).astype(np.int32)
+
+        # gather the V bounds at the boundary and d² wherever the
+        # restricted flood reads values (val_off = offsets: poppers'
+        # neighbours) — tiny transfers
+        from ..ops.flood_exact import repair_region
+
+        R, B = repair_region(rep, unc)
+        b_idx = np.flatnonzero(B.ravel()).astype(np.int64)
+        need = R | B
+        grow = need.copy()
+        for a in range(3):
+            grow[tuple(slice(None, -1) if i == a else slice(None)
+                       for i in range(3))] |= need[
+                tuple(slice(1, None) if i == a else slice(None)
+                      for i in range(3))]
+            grow[tuple(slice(1, None) if i == a else slice(None)
+                       for i in range(3))] |= need[
+                tuple(slice(None, -1) if i == a else slice(None)
+                      for i in range(3))]
+        g_idx = np.flatnonzero(grow.ravel()).astype(np.int64)
+        vcap = _pick_capacity("flat", max(len(b_idx), 1), mask.size)
+        acap = _pick_capacity("flat", max(len(g_idx), 1), mask.size)
+        v_idx = np.zeros(vcap, np.int32)
+        v_idx[:len(b_idx)] = b_idx
+        a_idx = np.zeros(acap, np.int32)
+        a_idx[:len(g_idx)] = g_idx
+        lb_b = np.asarray(
+            _cached_gather("flat", vcap)(v_lb_dev, jnp.asarray(v_idx))
+        )[:len(b_idx)]
+        ub_b = np.asarray(
+            _cached_gather("flat", vcap)(v_ub_dev, jnp.asarray(v_idx))
+        )[:len(b_idx)]
+        d_g = np.asarray(
+            _cached_gather("flat", acap)(dist_sq, jnp.asarray(a_idx))
+        )[:len(g_idx)]
+        t0 = tick("gather_repair", t0)
+
+        values = np.zeros(mask.size, np.float32)
+        values[g_idx] = -d_g.astype(np.float32)
+        offsets, _axes = neighbor_offsets(pshape)
+        val_chan = np.zeros(len(offsets), np.int64)
+        # patch the gathered bounds into full arrays for the shared
+        # repair helper (only b_idx entries are read)
+        v_lb = np.zeros(mask.size, np.float32)
+        v_ub = np.zeros(mask.size, np.float32)
+        v_lb[b_idx] = lb_b
+        v_ub[b_idx] = ub_b
+        tele = {}
+        labels = dual_schedule_repair(
+            rep, unc, v_lb.reshape(pshape), v_ub.reshape(pshape), mask,
+            values.reshape(1, -1), offsets, val_chan, offsets, tele,
+        )
+        if profile is not None:
+            profile["flood_exact_path"] = tele.get("path", "n/a")
+        if labels is None:
+            return None
+        t0 = tick("flood", t0)
+        return labels
+
     def _finalize(self, zyx, outs, out=None, profile=None):
         """Host half: blob pruning + seeded flood on the EDT landscape."""
         import time as _time
@@ -1508,9 +1674,10 @@ class DoGPipeline:
         t0 = tick("host_blobs", t0)
 
         if self.device_flood:
-            # approximate on-device EDT watershed: seeds upload (tiny),
-            # wire-dtype labels download; exact host fallback on
-            # non-convergence. Opt-in — see __init__.
+            # on-device EDT watershed: seeds upload (tiny), wire-dtype
+            # labels download; exact host fallback on non-convergence
+            # (or tie-sensitivity in "exact" mode). Opt-in — see
+            # __init__.
             n_ids = int(markers.max())
             coords = np.argwhere(markers > 0).astype(np.int32)
             labs = markers[tuple(coords.T)].astype(np.int32)
@@ -1520,33 +1687,43 @@ class DoGPipeline:
             ls = np.zeros(scap, np.int32)
             cs[:kk] = coords
             ls[:kk] = labs
-            from ..ops.pallas_flood import fits_vmem
-
-            # the Pallas kernel never tiles x: wide-X volumes overflow
-            # its VMEM scratch and would fail the Mosaic compile, so
-            # they take the XLA recurrence instead of aborting (labels
-            # differ between the kernels at schedule-dependent tie
-            # races, so a forced-"pallas" caller must hear about it)
-            kernel = self.device_flood
-            if kernel == "pallas" and not fits_vmem(pshape):
-                import warnings
-
-                warnings.warn(
-                    f"device_flood='pallas': padded volume {pshape} "
-                    "exceeds the Pallas kernel's VMEM budget "
-                    "(fits_vmem); using the XLA recurrence instead",
-                    RuntimeWarning, stacklevel=3,
+            labels = None
+            if self.device_flood == "exact":
+                labels = self._flood_exact(
+                    mask_packed, dist_sq, cs, ls, scap, n_ids, pshape,
+                    profile=profile,
                 )
-                kernel = "xla"
-            lab_dev, conv = _cached_dog_flood(
-                pshape, scap, wide=n_ids >= 2 ** 16, kernel=kernel
-            )(mask_packed, dist_sq, jnp.asarray(cs), jnp.asarray(ls))
-            try:
-                lab_dev.copy_to_host_async()
-            except AttributeError:
-                pass
-            if bool(conv):  # blocks on the flood; label D2H runs behind
-                labels = np.asarray(lab_dev).astype(np.int32)
+                conv = labels is not None
+            else:
+                from ..ops.pallas_flood import fits_vmem
+
+                # the Pallas kernel never tiles x: wide-X volumes
+                # overflow its VMEM scratch and would fail the Mosaic
+                # compile, so they take the XLA recurrence instead of
+                # aborting (labels differ between the kernels at
+                # schedule-dependent tie races, so a forced-"pallas"
+                # caller must hear about it)
+                kernel = self.device_flood
+                if kernel == "pallas" and not fits_vmem(pshape):
+                    import warnings
+
+                    warnings.warn(
+                        f"device_flood='pallas': padded volume {pshape} "
+                        "exceeds the Pallas kernel's VMEM budget "
+                        "(fits_vmem); using the XLA recurrence instead",
+                        RuntimeWarning, stacklevel=3,
+                    )
+                    kernel = "xla"
+                lab_dev, conv = _cached_dog_flood(
+                    pshape, scap, wide=n_ids >= 2 ** 16, kernel=kernel
+                )(mask_packed, dist_sq, jnp.asarray(cs), jnp.asarray(ls))
+                try:
+                    lab_dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+                if bool(conv):  # blocks on the flood; D2H runs behind
+                    labels = np.asarray(lab_dev).astype(np.int32)
+            if labels is not None:
                 t0 = tick("device_flood", t0)
                 if out is not None:
                     out[...] = labels

@@ -146,6 +146,93 @@ class TestExactFlood:
         assert 0.0 <= tele["uncertain_frac"] <= 1.0
 
 
+class TestExactImageFlood:
+    """Image-watershed twin (exact_image_flood vs the sequential heap
+    oracle) — the DoG path's flood semantics."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_bit_exact_vs_heap(self, seed):
+        from test_device_flood import edt_case
+
+        from iterseg_tpu.ops.flood_exact import exact_image_flood
+        from iterseg_tpu.ops.watershed_oracle import image_flood_py
+
+        image, markers, mask = edt_case(seed=seed)
+        oracle = image_flood_py(image, markers, mask)
+        tele = {}
+        got = exact_image_flood(image, markers, mask, telemetry=tele)
+        np.testing.assert_array_equal(got, oracle)
+        # quantised EDT landscapes are tie-heavy: the certificate is
+        # sound but the repair usually detects tie-sensitivity and
+        # falls back — exactness is the contract either way
+        assert 0.0 < tele["uncertain_frac"] < 0.5
+
+    def test_certificate_soundness_image(self):
+        from test_device_flood import edt_case
+
+        from iterseg_tpu.ops.flood_exact import image_certificate_flood
+        from iterseg_tpu.ops.watershed_oracle import image_flood_py
+
+        for s in range(3):
+            image, markers, mask = edt_case(seed=s)
+            oracle = image_flood_py(image, markers, mask)
+            rep, unc, v_lb, v_ub, conv = image_certificate_flood(
+                image, markers, mask
+            )
+            assert conv
+            certain = ~unc & mask
+            np.testing.assert_array_equal(rep[certain], oracle[certain])
+            assert (v_lb[mask] <= v_ub[mask]).all()
+
+
+class TestDoGExactFlood:
+    """device_flood="exact" through DoGPipeline — BIT-EQUAL to the
+    default host (bucket-flood) path."""
+
+    def _vol(self, seed, shape=(12, 48, 48), n=16):
+        r = np.random.default_rng(seed)
+        vol = np.zeros(shape, np.float32)
+        pts = np.stack([r.integers(3, s - 3, size=n) for s in shape], 1)
+        vol[tuple(pts.T)] = 1.0
+        vol = ndi.gaussian_filter(vol, (1, 2, 2))
+        return vol / vol.max()
+
+    def test_segment_bit_exact(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        vol = self._vol(51)
+        host = DoGPipeline()
+        dev = DoGPipeline(device_flood="exact")
+        assert dev.device_flood == "exact"
+        prof = {}
+        labels_host = host.segment(vol)
+        labels_dev = dev.segment(vol, profile=prof)
+        np.testing.assert_array_equal(labels_dev, labels_host)
+        assert prof["flood_exact_path"] in (
+            "certified", "repaired", "fallback:tie-sensitive",
+        )
+
+    def test_segment_bit_exact_more_seeds(self):
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        for s in (52, 53):
+            vol = self._vol(s)
+            host = DoGPipeline()
+            dev = DoGPipeline(device_flood="exact")
+            np.testing.assert_array_equal(
+                dev.segment(vol), host.segment(vol)
+            )
+
+    def test_registry_plumbing(self):
+        from iterseg_tpu.engine.segmentation import dog_blob_watershed
+
+        vol = self._vol(54)
+        ref = dog_blob_watershed(None, vol, None, "a", debug=True)
+        got = dog_blob_watershed(None, vol, None, "b", debug=True,
+                                 device_flood="exact")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 class TestPipelineExactFlood:
     """device_flood="exact" through AffinityPipeline._finalize — the
     production integration must be BIT-EQUAL to the default host path
