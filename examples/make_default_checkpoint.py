@@ -17,10 +17,15 @@ size); on a TPU it is quick.
 import argparse
 import os
 import shutil
+import sys
 import tempfile
 
 import numpy as np
 from scipy import ndimage as ndi
+
+# runnable from anywhere without an installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def blob_frame(shape=(16, 256, 256), n=160, seed=0):
@@ -35,9 +40,11 @@ def blob_frame(shape=(16, 256, 256), n=160, seed=0):
     dist = ndi.distance_transform_edt(mask)
     peaks = (dist == ndi.maximum_filter(dist, size=3)) & mask
     markers, _ = ndi.label(peaks)
-    from skimage.segmentation import watershed
+    from iterseg_tpu.ops.watershed import image_watershed
 
-    labels = watershed(-dist, markers, mask=mask)
+    labels = image_watershed(
+        (-dist).astype(np.float32), markers.astype(np.int32), mask
+    )
     noisy = np.clip(
         vol + r.normal(0, 0.03, vol.shape).astype(np.float32), 0, 1
     )
