@@ -69,14 +69,27 @@ def _cmd_segment(args):
     layer = _load_layer(viewer, args.input, "images", "Image",
                         args.scale, args.data_type)
     os.makedirs(args.output_dir, exist_ok=True)
+    extra = {}
+    if args.device_flood:
+        extra["device_flood"] = (True if args.device_flood == "auto"
+                                 else args.device_flood)
+    if args.flood_telemetry:
+        extra["flood_telemetry"] = True
     # debug=False → synchronous headless run that SAVES (debug skips
     # saving, reference parity — segmentation.py:767-768)
-    segment_data(
-        viewer, layer, save_dir=args.output_dir, name=args.name,
-        segmenter=args.segmenter,
-        network_or_config_file=args.network,
-        chunk_size=args.chunk_size, margin=args.margin, debug=False,
-    )
+    if extra:
+        # TPU extension keywords bypass the signature-parity widget
+        seg_func = segmenters[args.segmenter]
+        seg_func(viewer, layer, args.output_dir, args.name,
+                 args.network, None, args.chunk_size, args.margin,
+                 False, **extra)
+    else:
+        segment_data(
+            viewer, layer, save_dir=args.output_dir, name=args.name,
+            segmenter=args.segmenter,
+            network_or_config_file=args.network,
+            chunk_size=args.chunk_size, margin=args.margin, debug=False,
+        )
     out = os.path.join(args.output_dir, f"{args.name}.ome.zarr")
     if args.pyramid_levels:
         from .io.zarr_io import add_pyramid_levels
@@ -270,6 +283,15 @@ def build_parser():
     p.add_argument("--pyramid-levels", type=int, default=0,
                    help="append N downsampled NGFF levels to the output "
                         "labels store (level 0 stays the exact labels)")
+    p.add_argument("--device-flood", default=None,
+                   choices=["auto", "xla", "pallas", "exact"],
+                   help="run the watershed flood on device: xla/pallas "
+                        "= approximate kernels, exact = bit-equal "
+                        "certificate+repair hybrid, auto = pick by the "
+                        "measured link bandwidth (docs/exact_flood.md)")
+    p.add_argument("--flood-telemetry", action="store_true",
+                   help="report a rigorous per-run disagreement bound "
+                        "for approximate flood modes")
     _add_common_io(p)
     p.set_defaults(fn=_cmd_segment)
 

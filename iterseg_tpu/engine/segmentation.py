@@ -268,6 +268,7 @@ def affinity_unet_watershed(
     devices=None,
     compute_dtype=None,
     device_flood=None,
+    flood_telemetry=None,
     threaded: bool = False,
 ):
     """Segment a 3D volume or 4D stack with the affinity U-Net watershed.
@@ -280,19 +281,23 @@ def affinity_unet_watershed(
     (measured ~7% faster device phase — the f32 path already uses
     bf16-operand MXU passes; labels agree with f32 statistically, not
     bitwise); ``device_flood`` — run the watershed flood on device
-    (approximate wavefront flood; faster only on dense masks, see
-    benchmarks/watershed_crossover.py); ``threaded`` — return a live
+    (approximate wavefront flood, or ``"exact"`` for the bit-equal
+    certificate + repair hybrid; see benchmarks/watershed_crossover.py
+    and docs/exact_flood.md); ``flood_telemetry`` — report a rigorous
+    per-run disagreement bound for the approximate flood modes in the
+    profile dict / serve log; ``threaded`` — return a live
     :class:`SegmentationWorker` instead of blocking (the reference GUI's
     Qt thread_worker analog, segmentation.py:808-825; join via
     ``.result()``). Ignored under ``debug=True``.
     """
     prep = affinity_watershed_prep_config
-    if compute_dtype is not None or device_flood is not None:
+    if (compute_dtype is not None or device_flood is not None
+            or flood_telemetry is not None):
         def prep(layer, unet_or_cfg, ref, _cd=compute_dtype,
-                 _df=device_flood):
+                 _df=device_flood, _ft=flood_telemetry):
             return affinity_watershed_prep_config(
                 layer, unet_or_cfg, ref, compute_dtype=_cd,
-                device_flood=_df,
+                device_flood=_df, flood_telemetry=_ft,
             )
     return segmentation_wrapper(
         affinity_watershed_for_chunks,
@@ -425,6 +430,7 @@ def dog_blob_watershed(
     *,
     devices=None,
     device_flood=None,
+    flood_telemetry=None,
     threaded: bool = False,
 ):
     """Classical DoG blob segmentation (no NN). Signature parity with
@@ -436,6 +442,10 @@ def dog_blob_watershed(
     wins only at >=PCIe link bandwidths, see benchmarks/RESULTS.md) and
     ``threaded`` (return a live :class:`SegmentationWorker`; join via
     ``.result()``)."""
+    # flood_telemetry is accepted for config uniformity with the
+    # affinity segmenter; the DoG pipeline has no image-certificate
+    # telemetry yet and ignores it (device_pipeline notes why)
+    del flood_telemetry
     prep = dog_blob_watershed_prep_config
     if device_flood is not None:
         def prep(layer, cfg, ref, _df=device_flood):

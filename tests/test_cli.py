@@ -92,6 +92,30 @@ def test_segment_dog_zarr_roundtrip(stack_zarrs, tmp_path, capsys):
     assert arr.shape == shape and arr.max() > 0
 
 
+def test_segment_device_flood_exact_flag(stack_zarrs, tmp_path, capsys):
+    """--device-flood exact drives the hybrid-exact flood through the
+    CLI and stays BIT-EQUAL to the default run."""
+    from iterseg_tpu.io.zarr_io import load_ome_zarr
+
+    ip, _, shape = stack_zarrs
+    rc = main([
+        "segment", "--input", ip, "--output-dir", str(tmp_path),
+        "--name", "cli-dog-exact", "--segmenter", "DoG-blob-watershed",
+        "--chunk-size", "8,64,64", "--margin", "1,8,8",
+        "--device-flood", "exact",
+    ])
+    assert rc == 0
+    rc = main([
+        "segment", "--input", ip, "--output-dir", str(tmp_path),
+        "--name", "cli-dog-ref", "--segmenter", "DoG-blob-watershed",
+        "--chunk-size", "8,64,64", "--margin", "1,8,8",
+    ])
+    assert rc == 0
+    [(a, _m1, _t1)] = load_ome_zarr(str(tmp_path / "cli-dog-exact.ome.zarr"))
+    [(b, _m2, _t2)] = load_ome_zarr(str(tmp_path / "cli-dog-ref.ome.zarr"))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_segment_pyramid_levels(stack_zarrs, tmp_path, capsys):
     """--pyramid-levels appends stride-downsampled NGFF levels; level 0
     stays the exact labels."""
