@@ -232,6 +232,22 @@ class TestDoGExactFlood:
                                  device_flood="exact")
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_stack_exact(self):
+        """The pipelined 4D path honours device_flood='exact' per frame
+        (bit-equal to the default stack path)."""
+        from iterseg_tpu.engine.device_pipeline import DoGPipeline
+
+        stack = np.stack([self._vol(s, shape=(10, 40, 40), n=10)
+                          for s in (55, 56)])
+        pshape = tuple(s + 2 for s in stack.shape[1:])
+        ref = np.zeros((2,) + stack.shape[1:], np.int32)
+        got = np.zeros_like(ref)
+        host = DoGPipeline()
+        dev = DoGPipeline(device_flood="exact")
+        list(host.segment_stack(stack, ref, skip_labelled=False))
+        list(dev.segment_stack(stack, got, skip_labelled=False))
+        np.testing.assert_array_equal(got, ref)
+
 
 class TestPipelineExactFlood:
     """device_flood="exact" through AffinityPipeline._finalize — the
