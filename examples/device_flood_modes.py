@@ -40,11 +40,12 @@ def blob_volume(shape=(10, 96, 96), n=30, seed=0):
     return vol / vol.max()
 
 
-def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else None
-    vol = blob_volume()
+def main(out_dir=None, shape=(10, 96, 96)):
+    if out_dir is None:
+        out_dir = sys.argv[1] if len(sys.argv) > 1 else None
+    vol = blob_volume(shape)
     seg = segmenters["affinity-unet-watershed"]
-    kw = dict(chunk_size=(10, 96, 96), margin=(1, 16, 16), debug=True)
+    kw = dict(chunk_size=shape, margin=(1, 16, 16), debug=True)
 
     print("== default (exact host flood) ==")
     ref = np.asarray(seg(None, vol, out_dir, "default", None, **kw))
@@ -52,7 +53,7 @@ def main():
 
     print("== device_flood='xla' + flood_telemetry ==")
     model = load_unet(None)
-    pipe = AffinityPipeline(model, chunk_size=(10, 96, 96),
+    pipe = AffinityPipeline(model, chunk_size=shape,
                             margin=(1, 16, 16), device_flood="xla",
                             flood_telemetry=True)
     prof = {}
@@ -67,7 +68,7 @@ def main():
           AffinityPipeline.normalize_device_flood(True) or "host flood")
 
     print("== device_flood='exact' (bit-equal hybrid) ==")
-    pipe_exact = AffinityPipeline(model, chunk_size=(10, 96, 96),
+    pipe_exact = AffinityPipeline(model, chunk_size=shape,
                                   margin=(1, 16, 16),
                                   device_flood="exact")
     prof = {}

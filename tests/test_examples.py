@@ -172,3 +172,17 @@ def test_sharded_train_example(tmp_path):
     df = pd.read_csv(tmp_path / "out" / "loss_sharded.csv")
     assert len(df) == 2  # 1 epoch x ceil(4 chunks / dp=2) steps
     assert np.isfinite(df["loss"]).all()
+
+
+def test_device_flood_modes_example(tmp_path):
+    """examples/device_flood_modes.py: the four flood modes through the
+    public API — asserts exact-mode bit-equality internally."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "device_flood_modes",
+        os.path.join(EXAMPLES, "device_flood_modes.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(out_dir=None, shape=(10, 64, 64))
