@@ -977,17 +977,12 @@ class AffinityPipeline:
 
         R, B = repair_region(rep, unc)
         b_idx = np.flatnonzero(B.ravel()).astype(np.int64)
-        # V bounds at the boundary + affinities wherever the restricted
-        # flood can read them (R|B poppers and their +axis neighbours:
-        # val_off is 0 or +stride) — both tiny gathers
-        need = R | B
-        grow = need.copy()
-        for a in range(3):
-            grow[tuple(slice(None, -1) if i == a else slice(None)
-                       for i in range(3))] |= need[
-                tuple(slice(1, None) if i == a else slice(None)
-                      for i in range(3))]
-        g_idx = np.flatnonzero(grow.ravel()).astype(np.int64)
+        # V bounds at the boundary + affinities at R|B — the restricted
+        # flood reads values only at indices inside its own mask (the
+        # C++ kernel checks mask[nbr] before reading: negative
+        # directions read at the popper, positive at the claimed
+        # neighbour, both in R|B) — tiny gathers either way
+        g_idx = np.flatnonzero((R | B).ravel()).astype(np.int64)
         vcap = _pick_capacity("flat", len(b_idx), mask_pad.size)
         acap = _pick_capacity("rows", len(g_idx), mask_pad.size)
         v_idx = np.zeros(vcap, np.int32)
@@ -1525,18 +1520,9 @@ class DoGPipeline:
 
         R, B = repair_region(rep, unc)
         b_idx = np.flatnonzero(B.ravel()).astype(np.int64)
-        need = R | B
-        grow = need.copy()
-        for a in range(3):
-            grow[tuple(slice(None, -1) if i == a else slice(None)
-                       for i in range(3))] |= need[
-                tuple(slice(1, None) if i == a else slice(None)
-                      for i in range(3))]
-            grow[tuple(slice(1, None) if i == a else slice(None)
-                       for i in range(3))] |= need[
-                tuple(slice(None, -1) if i == a else slice(None)
-                      for i in range(3))]
-        g_idx = np.flatnonzero(grow.ravel()).astype(np.int64)
+        # d² at R|B only — the restricted flood reads values only at
+        # indices inside its own mask (see the affinity twin's note)
+        g_idx = np.flatnonzero((R | B).ravel()).astype(np.int64)
         vcap = _pick_capacity("flat", max(len(b_idx), 1), mask.size)
         acap = _pick_capacity("flat", max(len(g_idx), 1), mask.size)
         v_idx = np.zeros(vcap, np.int32)
