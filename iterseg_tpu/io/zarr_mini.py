@@ -116,7 +116,14 @@ class MiniZarrArray:
                 out.append(slice(s, s + 1))
                 squeeze.append(ax)
             elif isinstance(s, slice):
-                out.append(slice(*s.indices(self.shape[ax])))
+                start, stop, step = s.indices(self.shape[ax])
+                if step != 1:
+                    raise TypeError(
+                        "zarr_mini supports contiguous slices only "
+                        f"(axis {ax} got step {step}); read the array "
+                        "and stride in numpy"
+                    )
+                out.append(slice(start, stop))
             else:
                 raise TypeError(
                     f"zarr_mini supports int/slice selections, got {s!r}"

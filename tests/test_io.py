@@ -287,6 +287,12 @@ class TestZarrMiniFallback:
         b = zarr_mini.create(tmp_path / "b.zarr", (10, 10), chunks=(4, 4),
                              dtype=np.float32)
         assert (b[...] == 0).all()
+        # negative int + ellipsis selections
+        np.testing.assert_array_equal(arr[-1], data[-1])
+        np.testing.assert_array_equal(arr[..., 2], data[..., 2])
+        # strided slices must raise loudly, not silently mis-read
+        with pytest.raises(TypeError, match="contiguous"):
+            arr[::2]
 
     def test_tensorstore_reads_mini_store(self, tmp_path):
         import tensorstore as ts
