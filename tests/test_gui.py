@@ -161,6 +161,65 @@ def test_manifest_widget_commands_resolve():
         assert getattr(fn, "__wrapped__", None) is getattr(widgets, name)
 
 
+def test_annotations_applied_with_stub_napari(monkeypatch):
+    """With napari importable, the twins carry the reference's layer
+    annotations (the contract magicgui's combo boxes hang off); proven
+    against a stub module so the branch is tested on this GUI-less
+    host."""
+    import sys
+    import types
+
+    napari = types.ModuleType("napari")
+    napari.viewer = types.SimpleNamespace(Viewer=type("Viewer", (), {}))
+    napari.Viewer = napari.viewer.Viewer
+    napari.layers = types.SimpleNamespace(
+        Image=type("Image", (), {}),
+        Labels=type("Labels", (), {}),
+        Shapes=type("Shapes", (), {}),
+        Layer=type("Layer", (), {}),
+    )
+    monkeypatch.setitem(sys.modules, "napari", napari)
+    twin = gui._annotated_twin("segment_data")
+    sig = inspect.signature(twin)
+    assert sig.parameters["napari_viewer"].annotation is napari.Viewer
+    assert (sig.parameters["input_volume_layer"].annotation
+            is napari.layers.Image)
+    # non-layer params keep their originals (string under
+    # `from __future__ import annotations`)
+    assert sig.parameters["name"].annotation in (str, "str")
+    twin2 = gui._annotated_twin("ground_truth_from_ROI")
+    sig2 = inspect.signature(twin2)
+    assert (sig2.parameters["shapes_layer"].annotation
+            is napari.layers.Shapes)
+
+
+def test_factory_uses_stub_magicgui(monkeypatch):
+    """With magicgui importable, get_factory must hand the twin plus the
+    reference option dict to magic_factory — proven against a recording
+    stub."""
+    calls = []
+
+    def fake_magic_factory(fn, **options):
+        calls.append((fn, options))
+
+        class FakeFactory:
+            def __init__(self):
+                self.func = fn  # instance attr: plain functions would
+                self.keywords = options  # otherwise bind as methods
+
+            def __call__(self):
+                return fn
+
+        return FakeFactory()
+
+    monkeypatch.setattr(gui, "_magic_factory", fake_magic_factory)
+    factory = gui.get_factory("train_from_viewer")
+    (fn, options), = calls
+    assert options == gui.WIDGET_OPTIONS["train_from_viewer"]
+    assert fn.__wrapped__ is widgets.train_from_viewer
+    assert factory.func is fn
+
+
 def test_annotations_skipped_without_napari():
     """On hosts without napari the twins stay un-annotated (no import
     error, no stale string annotations)."""
