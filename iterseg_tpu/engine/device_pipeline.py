@@ -243,16 +243,17 @@ def _cached_flood_telemetry(pshape, cap):
     return _GATHER_CACHE[key]
 
 
-def _cached_exact_cert(pshape, cap, wide):
+def _cached_exact_flood(pshape, cap, wide):
     """Device program for ``device_flood="exact"``: unpack the filtered
     mask bits + scatter seeds (as ``_cached_flood_prep``), then run the
-    watershed CERTIFICATE (``ops/flood_exact.certificate_flood_jit``) on
-    the device-resident padded affinities.  Ships back wire-dtype
-    representative labels and bit-packed uncertainty; the V bounds stay
-    device-resident for the (rare, tiny) boundary gather."""
-    key = ("exact_cert", pshape, cap, bool(wide))
+    fully device-resident verified exact flood
+    (``ops/flood_exact.verified_exact_flood_jit``: certificate +
+    PROVEN restricted repair).  Only wire-dtype labels and three scalars
+    come back; ``resolved`` False sends the caller to the exact host
+    flood."""
+    key = ("exact_flood", pshape, cap, bool(wide))
     if key not in _GATHER_CACHE:
-        from ..ops.flood_exact import certificate_flood_jit
+        from ..ops.flood_exact import verified_exact_flood_jit
 
         psize = int(np.prod(pshape))
         dtype = jnp.int32 if wide else jnp.uint16
@@ -265,33 +266,28 @@ def _cached_exact_cert(pshape, cap, wide):
             seeds = jnp.zeros(pshape, jnp.int32).at[
                 coords[:, 0], coords[:, 1], coords[:, 2]
             ].max(labs)
-            rep, unc, v_lb, v_ub, conv = certificate_flood_jit(
-                aff_pad, seeds, mask
+            labels, resolved, unc_count, n_mask = (
+                verified_exact_flood_jit(aff_pad, seeds, mask)
             )
-            return (rep.astype(dtype), _pack_mask_bits(unc),
-                    v_lb, v_ub, conv)
+            return labels.astype(dtype), resolved, unc_count, n_mask
 
         _GATHER_CACHE[key] = fn
     return _GATHER_CACHE[key]
 
 
-def _cached_dog_exact_cert(pshape, cap, wide):
-    """Device program for the DoG pipeline's ``device_flood="exact"``:
-    the image-watershed certificate (``ops/flood_exact``) on the
-    device-resident EDT landscape.  The certificate (and the matching
-    host repair) flood on ``-d²`` — NOT ``-sqrt(d²)`` — because a
-    strictly monotone transform preserves every comparison AND every
-    exact tie, while ``-d²`` is an exact f32 integer on any platform
-    (TPU sqrt rounding can deviate by an ulp, which would silently
-    desynchronise the certificate from the host heap).  Equality with
-    the production ``-sqrt`` flood holds below the proven
-    ``native.BUCKET_FLOOD_MAX_KEY`` collision bound; the caller checks
-    the returned ``max_key`` and falls back past it.  Ships wire-dtype
-    rep labels + packed uncertainty; V bounds stay resident for the
-    (tiny) boundary gather."""
-    key = ("dog_exact_cert", pshape, cap, bool(wide))
+def _cached_dog_exact_flood(pshape, cap, wide):
+    """DoG twin of ``_cached_exact_flood``: the verified exact IMAGE
+    flood on the device-resident EDT landscape.  Floods on ``-d²`` —
+    NOT ``-sqrt(d²)`` — because a strictly monotone transform preserves
+    every comparison AND every exact tie, while ``-d²`` is an exact f32
+    integer on any platform (TPU sqrt rounding can deviate by an ulp,
+    which would silently desynchronise the certificate from the host
+    heap).  Equality with the production ``-sqrt`` flood holds below
+    the proven ``native.BUCKET_FLOOD_MAX_KEY`` collision bound; the
+    caller checks the returned ``max_key`` and falls back past it."""
+    key = ("dog_exact_flood", pshape, cap, bool(wide))
     if key not in _GATHER_CACHE:
-        from ..ops.flood_exact import image_certificate_flood_jit
+        from ..ops.flood_exact import verified_exact_image_flood_jit
 
         psize = int(np.prod(pshape))
         dtype = jnp.int32 if wide else jnp.uint16
@@ -305,13 +301,13 @@ def _cached_dog_exact_cert(pshape, cap, wide):
                 coords[:, 0], coords[:, 1], coords[:, 2]
             ].max(labs)
             values = -dist_sq.astype(jnp.float32)
-            rep, unc, v_lb, v_ub, conv = image_certificate_flood_jit(
-                values, seeds, mask
+            labels, resolved, unc_count, n_mask = (
+                verified_exact_image_flood_jit(values, seeds, mask)
             )
             max_key = jnp.max(jnp.where(mask, dist_sq, 0)).astype(
                 jnp.int32)
-            return (rep.astype(dtype), _pack_mask_bits(unc),
-                    v_lb, v_ub, conv, max_key)
+            return (labels.astype(dtype), resolved, unc_count, n_mask,
+                    max_key)
 
         _GATHER_CACHE[key] = fn
     return _GATHER_CACHE[key]
@@ -902,18 +898,15 @@ class AffinityPipeline:
 
     def _flood_exact(self, aff_pad, mask_pad, centroids, out=None,
                      profile=None):
-        """``device_flood="exact"``: the hybrid certificate + host-repair
-        flood (``ops/flood_exact``) — labels BIT-EQUAL to the exact host
-        heap, with the bulk certified on device and only the uncertain
-        region (typically 0-2% on trained-U-Net affinities) re-flooded
-        on host.  Returns cropped int32 labels, or ``None`` when the
-        certificate did not converge or the repair proved tie-sensitive
-        (caller falls back to the exact host flood — exactness never
-        regresses; the fallback path is recorded in ``profile``)."""
+        """``device_flood="exact"``: the fully device-resident verified
+        exact flood (``ops/flood_exact``) — labels BIT-EQUAL to the
+        exact host heap, PROVEN per run (certificate + restricted-repair
+        verification; docs/exact_flood.md).  One device program; only
+        wire-dtype labels + three scalars come back.  Returns cropped
+        int32 labels, or ``None`` when some ambiguity survives even
+        locally (caller falls back to the exact host flood — exactness
+        never regresses; the path is recorded in ``profile``)."""
         import time as _time
-
-        from ..ops.flood_exact import repair_region
-        from ..ops.watershed_oracle import neighbor_offsets
 
         def tick(name, t0):
             if profile is not None:
@@ -932,108 +925,37 @@ class AffinityPipeline:
         labs[:n] = np.arange(1, n + 1, dtype=np.int32)
         bits = np.packbits(mask_pad.view(np.bool_).ravel())
         wide = n >= 2 ** 16
-        rep_dev, unc_bits, v_lb_dev, v_ub_dev, conv = _cached_exact_cert(
+        lab_dev, resolved, unc_count, n_mask = _cached_exact_flood(
             pshape, cap, wide
         )(jnp.asarray(bits), jnp.asarray(coords), jnp.asarray(labs),
           aff_pad)
-        for a in (rep_dev, unc_bits):
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
-        if not bool(conv):  # blocks on the certificate
-            if profile is not None:
-                profile["flood_exact_path"] = "fallback:unconverged"
-            return None
-        rep = np.asarray(rep_dev).astype(np.int32)
-        unc = np.unpackbits(np.asarray(unc_bits))[:rep.size].view(
-            np.bool_
-        ).reshape(pshape)
-        t0 = tick("device_flood", t0)
-        mask_b = mask_pad.view(np.bool_)
-        n_mask = int(mask_b.sum())
+        try:
+            lab_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        unc_count, n_mask = int(unc_count), int(n_mask)  # fences
         if profile is not None:
             profile["flood_uncertain_frac"] = (
-                float(unc.sum()) / n_mask if n_mask else 0.0
+                unc_count / n_mask if n_mask else 0.0
             )
-
-        def finish(labels_pad):
-            if out is not None:
-                output = out
-                output[:] = 0
-                view = output.reshape(pshape)[1:-1, 1:-1, 1:-1]
-                view[:] = labels_pad[1:-1, 1:-1, 1:-1]
-                return view
-            return labels_pad[1:-1, 1:-1, 1:-1].copy()
-
-        if not unc.any():
+        if not bool(resolved):
             if profile is not None:
-                profile["flood_exact_path"] = "certified"
-            tick("download_labels", t0)
-            return finish(rep)
-
-        # ---- host repair of the uncertain region ----
-        from .. import native
-
-        R, B = repair_region(rep, unc)
-        b_idx = np.flatnonzero(B.ravel()).astype(np.int64)
-        # V bounds at the boundary + affinities at R|B — the restricted
-        # flood reads values only at indices inside its own mask (the
-        # C++ kernel checks mask[nbr] before reading: negative
-        # directions read at the popper, positive at the claimed
-        # neighbour, both in R|B) — tiny gathers either way
-        g_idx = np.flatnonzero((R | B).ravel()).astype(np.int64)
-        vcap = _pick_capacity("flat", len(b_idx), mask_pad.size)
-        acap = _pick_capacity("rows", len(g_idx), mask_pad.size)
-        v_idx = np.zeros(vcap, np.int32)
-        v_idx[:len(b_idx)] = b_idx
-        a_idx = np.zeros(acap, np.int32)
-        a_idx[:len(g_idx)] = g_idx
-        lb_g = _cached_gather("flat", vcap)(v_lb_dev, jnp.asarray(v_idx))
-        ub_g = _cached_gather("flat", vcap)(v_ub_dev, jnp.asarray(v_idx))
-        aff_g = _cached_gather("rows", acap)(aff_pad, jnp.asarray(a_idx))
-        lb_b = np.asarray(lb_g)[:len(b_idx)]
-        ub_b = np.asarray(ub_g)[:len(b_idx)]
-        aff_vals = np.asarray(aff_g)[:, :len(g_idx)]
-        t0 = tick("gather_repair", t0)
-
-        if self._aff_host[0] != pshape:
-            self._aff_host = (
-                pshape, np.empty((3, mask_pad.size), np.float32)
-            )
-        aff_host = self._aff_host[1]
-        aff_host[:, g_idx] = aff_vals
-        offsets, axes = neighbor_offsets(pshape)
-        n_half = len(offsets) // 2
-        val_off = offsets.copy()
-        val_off[:n_half] = 0
-        flood_mask = (R | B).ravel()
-        seed_ages = np.arange(len(b_idx), dtype=np.int64)
-
-        def restricted(seed_vals, tie_reverse):
-            o = np.where(B, rep, 0).astype(np.int32).ravel()
-            native.priority_flood_seeded(
-                aff_host, offsets, axes, val_off, b_idx, seed_vals,
-                seed_ages, flood_mask, o, tie_reverse=tie_reverse,
-            )
-            return o.reshape(pshape)
-
-        try:
-            out_fwd = restricted(lb_b, False)
-            out_rev = restricted(ub_b, True)
-        except native.NativeUnavailable:
-            if profile is not None:
-                profile["flood_exact_path"] = "fallback:no-native"
+                profile["flood_exact_path"] = "fallback:unresolved"
             return None
-        if not np.array_equal(out_fwd[R], out_rev[R]):
-            if profile is not None:
-                profile["flood_exact_path"] = "fallback:tie-sensitive"
-            return None
-        rep[R] = out_fwd[R]
         if profile is not None:
-            profile["flood_exact_path"] = "repaired"
-        t0 = tick("flood", t0)
-        return finish(rep)
+            profile["flood_exact_path"] = (
+                "certified" if unc_count == 0 else "repaired"
+            )
+        t0 = tick("device_flood", t0)
+        labels = np.asarray(lab_dev).astype(np.int32)
+        tick("download_labels", t0)
+        if out is not None:
+            output = out
+            output[:] = 0
+            view = output.reshape(pshape)[1:-1, 1:-1, 1:-1]
+            view[:] = labels[1:-1, 1:-1, 1:-1]
+            return view
+        return labels[1:-1, 1:-1, 1:-1].copy()
 
     # ------------------------------------------------------------------
 
@@ -1449,18 +1371,15 @@ class DoGPipeline:
 
     def _flood_exact(self, mask_packed, dist_sq, cs, ls, scap, n_ids,
                      pshape, profile=None):
-        """``device_flood="exact"`` for the DoG path: image-watershed
-        certificate on the device-resident ``-d²`` landscape + restricted
-        host repair (``ops/flood_exact``; see ``_cached_dog_exact_cert``
-        for why ``-d²`` and not ``-sqrt``).  Returns int32 labels of
-        ``pshape`` BIT-EQUAL to the default host flood, or ``None`` to
-        fall back (unconverged / past the sqrt-collision bound /
-        tie-sensitive repair)."""
+        """``device_flood="exact"`` for the DoG path: the verified exact
+        IMAGE flood on the device-resident ``-d²`` landscape
+        (``_cached_dog_exact_flood`` explains the ``-d²`` choice and the
+        sqrt-collision bound).  Returns int32 labels of ``pshape``
+        BIT-EQUAL to the default host flood, or ``None`` to fall back
+        (unresolved ambiguity / past the collision bound)."""
         import time as _time
 
         from .. import native
-        from ..ops.flood_exact import dual_schedule_repair
-        from ..ops.watershed_oracle import neighbor_offsets
 
         def tick(name, t0):
             if profile is not None:
@@ -1470,96 +1389,39 @@ class DoGPipeline:
             return _time.perf_counter()
 
         t0 = _time.perf_counter()
-        rep_dev, unc_bits, v_lb_dev, v_ub_dev, conv, max_key = (
-            _cached_dog_exact_cert(pshape, scap, wide=n_ids >= 2 ** 16)(
+        lab_dev, resolved, unc_count, n_mask, max_key = (
+            _cached_dog_exact_flood(pshape, scap, wide=n_ids >= 2 ** 16)(
                 mask_packed, dist_sq, jnp.asarray(cs), jnp.asarray(ls)
             )
         )
-        for a in (rep_dev, unc_bits):
-            try:
-                a.copy_to_host_async()
-            except AttributeError:
-                pass
-        if not bool(conv):
-            if profile is not None:
-                profile["flood_exact_path"] = "fallback:unconverged"
-            return None
+        try:
+            lab_dev.copy_to_host_async()
+        except AttributeError:
+            pass
+        unc_count, n_mask = int(unc_count), int(n_mask)  # fences
+        if profile is not None:
+            profile["flood_uncertain_frac"] = (
+                unc_count / n_mask if n_mask else 0.0
+            )
         if int(max_key) >= native.BUCKET_FLOOD_MAX_KEY:
             # past this bound distinct d² can collide in the f32 -sqrt
             # priorities the production flood uses, so the -d² flood is
-            # no longer provably order-equal — take the host path (which
-            # handles the collision regime with the exact heap)
+            # no longer provably order-equal — take the host path
+            # (which handles the collision regime with the exact heap)
             if profile is not None:
                 profile["flood_exact_path"] = "fallback:sqrt-collision"
             return None
-        rep = np.asarray(rep_dev).astype(np.int32)
-        unc = np.unpackbits(np.asarray(unc_bits))[:rep.size].view(
-            np.bool_
-        ).reshape(pshape)
-        t0 = tick("device_flood", t0)
-        # the certificate ran on the packed mask; reconstruct it for the
-        # repair's telemetry/denominator (cheap host unpack)
-        nvox = int(np.prod(pshape))
-        mask = np.unpackbits(np.asarray(mask_packed))[:nvox].view(
-            np.bool_
-        ).reshape(pshape)
-        n_mask = int(mask.sum())
-        if profile is not None:
-            profile["flood_uncertain_frac"] = (
-                float(unc.sum()) / n_mask if n_mask else 0.0
-            )
-        if not unc.any():
+        if not bool(resolved):
             if profile is not None:
-                profile["flood_exact_path"] = "certified"
-            return np.where(mask, rep, 0).astype(np.int32)
-
-        # gather the V bounds at the boundary and d² wherever the
-        # restricted flood reads values (val_off = offsets: poppers'
-        # neighbours) — tiny transfers
-        from ..ops.flood_exact import repair_region
-
-        R, B = repair_region(rep, unc)
-        b_idx = np.flatnonzero(B.ravel()).astype(np.int64)
-        # d² at R|B only — the restricted flood reads values only at
-        # indices inside its own mask (see the affinity twin's note)
-        g_idx = np.flatnonzero((R | B).ravel()).astype(np.int64)
-        vcap = _pick_capacity("flat", max(len(b_idx), 1), mask.size)
-        acap = _pick_capacity("flat", max(len(g_idx), 1), mask.size)
-        v_idx = np.zeros(vcap, np.int32)
-        v_idx[:len(b_idx)] = b_idx
-        a_idx = np.zeros(acap, np.int32)
-        a_idx[:len(g_idx)] = g_idx
-        lb_b = np.asarray(
-            _cached_gather("flat", vcap)(v_lb_dev, jnp.asarray(v_idx))
-        )[:len(b_idx)]
-        ub_b = np.asarray(
-            _cached_gather("flat", vcap)(v_ub_dev, jnp.asarray(v_idx))
-        )[:len(b_idx)]
-        d_g = np.asarray(
-            _cached_gather("flat", acap)(dist_sq, jnp.asarray(a_idx))
-        )[:len(g_idx)]
-        t0 = tick("gather_repair", t0)
-
-        values = np.zeros(mask.size, np.float32)
-        values[g_idx] = -d_g.astype(np.float32)
-        offsets, _axes = neighbor_offsets(pshape)
-        val_chan = np.zeros(len(offsets), np.int64)
-        # patch the gathered bounds into full arrays for the shared
-        # repair helper (only b_idx entries are read)
-        v_lb = np.zeros(mask.size, np.float32)
-        v_ub = np.zeros(mask.size, np.float32)
-        v_lb[b_idx] = lb_b
-        v_ub[b_idx] = ub_b
-        tele = {}
-        labels = dual_schedule_repair(
-            rep, unc, v_lb.reshape(pshape), v_ub.reshape(pshape), mask,
-            values.reshape(1, -1), offsets, val_chan, offsets, tele,
-        )
-        if profile is not None:
-            profile["flood_exact_path"] = tele.get("path", "n/a")
-        if labels is None:
+                profile["flood_exact_path"] = "fallback:unresolved"
             return None
-        t0 = tick("flood", t0)
+        if profile is not None:
+            profile["flood_exact_path"] = (
+                "certified" if unc_count == 0 else "repaired"
+            )
+        t0 = tick("device_flood", t0)
+        labels = np.asarray(lab_dev).astype(np.int32)
+        tick("download_labels", t0)
         return labels
 
     def _finalize(self, zyx, outs, out=None, profile=None):

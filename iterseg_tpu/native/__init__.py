@@ -130,22 +130,6 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),   # output
             ctypes.c_int64,                   # n
         ]
-        lib.priority_flood_seeded.restype = None
-        lib.priority_flood_seeded.argtypes = [
-            ctypes.POINTER(ctypes.c_float),   # values
-            ctypes.POINTER(ctypes.c_int64),   # offsets
-            ctypes.POINTER(ctypes.c_int64),   # val_chan
-            ctypes.POINTER(ctypes.c_int64),   # val_off
-            ctypes.c_int32,                   # n_nbr
-            ctypes.POINTER(ctypes.c_int64),   # markers
-            ctypes.c_int64,                   # n_markers
-            ctypes.POINTER(ctypes.c_float),   # seed_values
-            ctypes.POINTER(ctypes.c_int64),   # seed_ages
-            ctypes.POINTER(ctypes.c_uint8),   # mask
-            ctypes.POINTER(ctypes.c_int32),   # output
-            ctypes.c_int64,                   # n
-            ctypes.c_int32,                   # tie_reverse
-        ]
         _lib = lib
         return _lib
 
@@ -179,40 +163,6 @@ def priority_flood(values, offsets, val_chan, val_off, markers, seed_values,
         _ptr(mask, ctypes.c_uint8),
         _ptr(output, ctypes.c_int32),
         ctypes.c_int64(n),
-    )
-    return output
-
-
-def priority_flood_seeded(values, offsets, val_chan, val_off, markers,
-                          seed_values, seed_ages, mask, output,
-                          tie_reverse=False):
-    """Repair flood with explicit seed ages + tie-order control
-    (see ``ops/flood_exact.py``). In place on ``output``."""
-    lib = get_lib()
-    values = np.ascontiguousarray(values, dtype=np.float32)
-    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
-    val_chan = np.ascontiguousarray(val_chan, dtype=np.int64)
-    val_off = np.ascontiguousarray(val_off, dtype=np.int64)
-    markers = np.ascontiguousarray(markers, dtype=np.int64)
-    seed_values = np.ascontiguousarray(seed_values, dtype=np.float32)
-    seed_ages = np.ascontiguousarray(seed_ages, dtype=np.int64)
-    mask = np.ascontiguousarray(mask, dtype=np.uint8)
-    assert output.dtype == np.int32 and output.flags.c_contiguous
-    n = mask.size
-    lib.priority_flood_seeded(
-        _ptr(values, ctypes.c_float),
-        _ptr(offsets, ctypes.c_int64),
-        _ptr(val_chan, ctypes.c_int64),
-        _ptr(val_off, ctypes.c_int64),
-        ctypes.c_int32(len(offsets)),
-        _ptr(markers, ctypes.c_int64),
-        ctypes.c_int64(len(markers)),
-        _ptr(seed_values, ctypes.c_float),
-        _ptr(seed_ages, ctypes.c_int64),
-        _ptr(mask, ctypes.c_uint8),
-        _ptr(output, ctypes.c_int32),
-        ctypes.c_int64(n),
-        ctypes.c_int32(1 if tie_reverse else 0),
     )
     return output
 

@@ -125,45 +125,6 @@ void priority_flood(const float* values, const int64_t* offsets,
   }
 }
 
-// Repair flood for the hybrid-exact device watershed
-// (ops/flood_exact.py): like priority_flood, but seeds carry explicit
-// ages (their cross-class release order) and tie_reverse flips the
-// age/index order at EQUAL values for the dual-schedule sensitivity
-// check (value order itself is the virtual-time contract and never
-// flips).  Internal pushes age on from max(seed_ages).
-void priority_flood_seeded(const float* values, const int64_t* offsets,
-                           const int64_t* val_chan, const int64_t* val_off,
-                           int32_t n_nbr, const int64_t* markers,
-                           int64_t n_markers, const float* seed_values,
-                           const int64_t* seed_ages, const uint8_t* mask,
-                           int32_t* output, int64_t n,
-                           int32_t tie_reverse) {
-  MinHeap heap(static_cast<size_t>(n_markers) + 1024);
-  int64_t age = 0;
-  const int64_t flip = tie_reverse ? -1 : 1;
-  // tie reversal negates the age/index components: lexicographic
-  // (value, -age, -index) min-order == reversed ties at equal value
-  for (int64_t i = 0; i < n_markers; ++i) {
-    heap.push(Elem{seed_values[i], flip * seed_ages[i],
-                   flip * markers[i]});
-    if (seed_ages[i] > age) age = seed_ages[i];
-  }
-  while (!heap.empty()) {
-    Elem e = heap.pop();
-    int64_t index = flip * e.index;
-    int32_t lab = output[index];
-    for (int32_t k = 0; k < n_nbr; ++k) {
-      int64_t nbr = index + offsets[k];
-      if (nbr < 0 || nbr >= n) continue;
-      if (!mask[nbr]) continue;
-      if (output[nbr]) continue;
-      output[nbr] = lab;
-      float v = values[val_chan[k] * n + index + val_off[k]];
-      ++age;
-      heap.push(Elem{v, flip * age, flip * nbr});
-    }
-  }
-}
 
 }  // extern "C"
 

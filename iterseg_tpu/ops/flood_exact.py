@@ -70,10 +70,10 @@ __all__ = [
     "certificate_flood",
     "image_certificate_flood_jit",
     "image_certificate_flood",
+    "verified_exact_flood_jit",
+    "verified_exact_image_flood_jit",
     "exact_affinity_flood",
     "exact_image_flood",
-    "dual_schedule_repair",
-    "repair_region",
 ]
 
 
@@ -99,13 +99,19 @@ def _edge_weights(affinities, ndim):
 
 
 def _certificate_core(weights, seeds, mask, seed_values, max_iters,
-                      check_every):
+                      check_every, seed_values_ub=None):
     """Shared certificate over a per-direction weight list (the same
     convention as ``device_flood._flood_core``): affinity floods pass
     crossed-arc weights and seed value 0 (the heap pushes markers at 0);
     image floods pass ``values[u]`` from every direction and seed the
     markers at their own image value — both are the respective heap's
-    virtual-pop-time recurrences."""
+    virtual-pop-time recurrences.
+
+    ``seed_values_ub``: optional upper endpoint when seed release times
+    are only known as intervals (the verified-repair restriction seeds
+    its gates at the outer certificate's ``[v_lb, v_ub]``); the theorem
+    then quantifies over all schedules AND all release times within the
+    intervals — a superset of the true heap's restricted execution."""
     mask = mask.astype(bool)
     shape = mask.shape
     seeded = (seeds > 0) & mask
@@ -128,6 +134,9 @@ def _certificate_core(weights, seeds, mask, seed_values, max_iters,
 
     # ---- phase A: V_lb = minimax distance (monotone decreasing) ----
     v0 = jnp.where(seeded, jnp.asarray(seed_values, jnp.float32), _BIG)
+    v0_ub = (v0 if seed_values_ub is None else
+             jnp.where(seeded, jnp.asarray(seed_values_ub, jnp.float32),
+                       _BIG))
 
     def step_a(state):
         v, it, _ = state
@@ -171,13 +180,13 @@ def _certificate_core(weights, seeds, mask, seed_values, max_iters,
         ub_cand = jnp.where(any_poss, jnp.maximum(m_high, w_max), _BIG)
         lb_new = jnp.where(frozen, v0,
                            jnp.where(mask, jnp.maximum(lb, lb_cand), _BIG))
-        ub_new = jnp.where(frozen, v0,
+        ub_new = jnp.where(frozen, v0_ub,
                            jnp.where(mask, jnp.minimum(ub, ub_cand), _BIG))
         changed = jnp.any((lb_new != lb) | (ub_new != ub))
         return lb_new, ub_new, it + 1, changed
 
     (v_lb, v_ub, it_b, _), conv_b = run(
-        step_b, (v_lb, v0, jnp.int32(0), jnp.bool_(True))
+        step_b, (v_lb, v0_ub, jnp.int32(0), jnp.bool_(True))
     )
 
     # final possible-claimer filter threshold (fixed from here on)
@@ -305,137 +314,116 @@ def image_certificate_flood(values, markers_or_coords, mask,
             np.asarray(v_ub), bool(conv))
 
 
+def _verified_core(weights, seeds, mask, seed_values, max_iters,
+                   check_every):
+    """Certificate + on-device VERIFIED repair (shared by both modes).
+
+    Runs the certificate, then re-runs it on the RESTRICTED problem —
+    the uncertain set ``R`` plus its certain labelled boundary ``B``,
+    with the gates seeded at their ``[v_lb, v_ub]`` release intervals.
+    If every ``R`` voxel comes out CERTAIN in the restricted
+    certificate, its label is forced under every consistent schedule and
+    every release time within the intervals — a superset of the true
+    heap's restricted execution — so the combined labels are PROVABLY
+    the heap's.  (This replaces an earlier dual-schedule heuristic
+    valve, which a fuzz counterexample showed could false-accept: two
+    sampled tie orders agreed while the heap's global FIFO age order
+    differed.)
+
+    Returns ``(labels, resolved, unc_count, n_mask)``; ``resolved``
+    False means ambiguity survives even locally — the caller must fall
+    back to the full exact host flood.  ``R`` empty degenerates to the
+    pure certified path (``resolved`` iff converged).
+    """
+    mask_b = mask.astype(bool)
+    rep, unc, v_lb, v_ub, conv = _certificate_core(
+        weights, seeds, mask_b, seed_values, max_iters, check_every
+    )
+    R = unc
+    grow = R
+    for (r_n,) in _neighbour_views([R], [False]):
+        grow = grow | r_n
+    B = grow & ~R & (rep > 0)
+    mask_r = R | B
+    seeds_r = jnp.where(B, rep, 0)
+    rep_r, unc_r, _lb_r, _ub_r, conv_r = _certificate_core(
+        weights, seeds_r, mask_r, v_lb, max_iters, check_every,
+        seed_values_ub=v_ub,
+    )
+    resolved = conv & conv_r & jnp.logical_not(jnp.any(unc_r & R))
+    labels = jnp.where(mask_b, jnp.where(R, rep_r, rep), 0)
+    return (labels.astype(jnp.int32), resolved,
+            jnp.sum(unc).astype(jnp.int32),
+            jnp.sum(mask_b).astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "check_every")
+)
+def verified_exact_flood_jit(affinities, seeds, mask, max_iters=1024,
+                             check_every=8):
+    """Fully device-resident exact affinity flood: certificate +
+    verified restricted repair.  Returns ``(labels, resolved,
+    unc_count, n_mask)`` — labels are the heap's bit-for-bit when
+    ``resolved``; otherwise the caller must run the exact host flood."""
+    weights = _edge_weights(affinities, mask.ndim)
+    return _verified_core(weights, seeds, mask, 0.0, max_iters,
+                          check_every)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "check_every")
+)
+def verified_exact_image_flood_jit(values, seeds, mask, max_iters=1024,
+                                   check_every=8):
+    """Image-watershed twin of ``verified_exact_flood_jit``."""
+    values = values.astype(jnp.float32)
+    weights = [values] * (2 * mask.ndim)
+    return _verified_core(weights, seeds, mask, values, max_iters,
+                          check_every)
+
+
 def _full_host_flood(affinities, marker_coords, mask):
     from .watershed import affinity_watershed
 
     return affinity_watershed(affinities, marker_coords, mask)
 
 
-def repair_region(rep, unc):
-    """The repair set R (= the label-uncertain voxels) and its
-    label-certain labelled boundary B, as boolean arrays."""
-    labelled = rep > 0
-    R = unc
-    # dilate R by one face-neighbour step
-    grow = R.copy()
-    for a in range(R.ndim):
-        grow[tuple(slice(None, -1) if i == a else slice(None)
-                   for i in range(R.ndim))] |= R[
-            tuple(slice(1, None) if i == a else slice(None)
-                  for i in range(R.ndim))]
-        grow[tuple(slice(1, None) if i == a else slice(None)
-                   for i in range(R.ndim))] |= R[
-            tuple(slice(None, -1) if i == a else slice(None)
-                  for i in range(R.ndim))]
-    B = grow & ~R & labelled
-    return R, B
-
-
 def exact_affinity_flood(affinities, marker_coords, mask,
-                         certificate=None, telemetry=None):
+                         telemetry=None):
     """Labels bit-equal to the exact heap flood
-    (``watershed_oracle.affinity_flood_py`` semantics), computed as
-    device certificate + restricted host repair with dual-schedule
-    verification; falls back to the full host flood whenever exactness
-    cannot be certified (see module doc).
+    (``watershed_oracle.affinity_flood_py`` semantics), via the
+    device-resident certificate + verified restricted repair; falls back
+    to the full host flood whenever the repair cannot be PROVEN
+    schedule-independent (see module doc / docs/exact_flood.md).
 
-    ``certificate``: optionally a precomputed ``(rep, unc, v_lb, v_ub,
-    converged)`` tuple (numpy), e.g. downloaded from a device program.
-    ``telemetry``: optional dict, filled with ``uncertain_frac``,
-    ``repair_frac``, ``path`` ("certified" | "repaired" | "fallback:*").
+    ``telemetry``: optional dict, filled with ``uncertain_frac`` and
+    ``path`` ("certified" | "repaired" | "fallback:*").
     """
-    from .watershed_oracle import neighbor_offsets
-
     mask = np.asarray(mask).astype(bool)
     mc = np.asarray(marker_coords)
     tele = telemetry if telemetry is not None else {}
-
-    if certificate is None:
-        certificate = certificate_flood(affinities, mc, mask)
-    rep, unc, v_lb, v_ub, conv = certificate
-    n_mask = int(mask.sum())
-    tele["uncertain_frac"] = (
-        float(unc.sum()) / n_mask if n_mask else 0.0
+    seeds = np.zeros(mask.shape, np.int32)
+    if len(mc):
+        seeds[tuple(mc.T)] = np.arange(1, len(mc) + 1, dtype=np.int32)
+    labels, resolved, unc_count, n_mask = verified_exact_flood_jit(
+        jnp.asarray(np.asarray(affinities, np.float32)),
+        jnp.asarray(seeds), jnp.asarray(mask),
     )
-    if not conv:
-        tele["path"] = "fallback:certificate-unconverged"
-        tele["repair_frac"] = 1.0
+    unc_count, n_mask = int(unc_count), int(n_mask)
+    tele["uncertain_frac"] = unc_count / n_mask if n_mask else 0.0
+    if not bool(resolved):
+        tele["path"] = "fallback:unresolved"
         return _full_host_flood(affinities, mc, mask)
-
-    shape = mask.shape
-    offsets, axes = neighbor_offsets(shape)
-    n_half = len(offsets) // 2
-    aff_off = offsets.copy()
-    aff_off[:n_half] = 0
-    values = np.ascontiguousarray(
-        np.asarray(affinities, np.float32).reshape(len(shape), -1)
-    )
-    labels = dual_schedule_repair(
-        rep, unc, v_lb, v_ub, mask, values, offsets, axes, aff_off, tele
-    )
-    if labels is None:
-        return _full_host_flood(affinities, mc, mask)
-    return labels
+    tele["path"] = "certified" if unc_count == 0 else "repaired"
+    return np.asarray(labels)
 
 
-def dual_schedule_repair(rep, unc, v_lb, v_ub, mask, values, offsets,
-                         val_chan, val_off, tele):
-    """Restricted-heap repair of the uncertain set, shared by the
-    affinity and image exact floods: boundary seeds released at their
-    virtual pop time, run under opposing tie orders AND at the two
-    endpoints of V-ambiguous release windows; any label that differs is
-    schedule-sensitive and the caller must fall back to the full exact
-    flood (returns None then — exactness never regresses)."""
-    from .. import native
-
-    shape = mask.shape
-    R, B = repair_region(rep, unc)
-    n_mask = int(mask.sum())
-    tele["repair_frac"] = float(R.sum()) / n_mask if n_mask else 0.0
-    labels = np.where(mask, rep, 0).astype(np.int32)
-    if not R.any():
-        tele["path"] = "certified"
-        return labels
-
-    flood_mask = (R | B).ravel()
-    b_idx = np.flatnonzero(B.ravel()).astype(np.int64)
-    lb_b = v_lb.ravel()[b_idx].astype(np.float32)
-    ub_b = v_ub.ravel()[b_idx].astype(np.float32)
-    seed_ages = np.arange(len(b_idx), dtype=np.int64)
-
-    def restricted(seed_vals, tie_reverse):
-        out = np.where(B, rep, 0).astype(np.int32).ravel()
-        try:
-            native.priority_flood_seeded(
-                values, offsets, val_chan, val_off, b_idx, seed_vals,
-                seed_ages, flood_mask, out, tie_reverse=tie_reverse,
-            )
-        except native.NativeUnavailable:
-            return None
-        return out.reshape(shape)
-
-    out_fwd = restricted(lb_b, False)
-    out_rev = restricted(ub_b, True) if out_fwd is not None else None
-    if out_fwd is None or not np.array_equal(out_fwd[R], out_rev[R]):
-        tele["path"] = (
-            "fallback:no-native" if out_fwd is None
-            else "fallback:tie-sensitive"
-        )
-        return None
-    labels[R] = out_fwd[R]
-    tele["path"] = "repaired"
-    return labels
-
-
-def exact_image_flood(values, markers_or_coords, mask, certificate=None,
-                      telemetry=None):
+def exact_image_flood(values, markers_or_coords, mask, telemetry=None):
     """Image-watershed twin of :func:`exact_affinity_flood`: labels
     bit-equal to ``watershed_oracle.image_flood_py`` / the exact host
-    image flood, via the image certificate + restricted repair (entry
-    value for every claim is the node's own image value, so the repair
-    flood reads ``values`` through ``val_off = offsets``)."""
+    image flood."""
     from .watershed import image_watershed
-    from .watershed_oracle import neighbor_offsets
 
     mask = np.asarray(mask).astype(bool)
     values_np = np.asarray(values, np.float32)
@@ -448,25 +436,13 @@ def exact_image_flood(values, markers_or_coords, mask, certificate=None,
             markers[tuple(m.T)] = np.arange(1, len(m) + 1,
                                             dtype=np.int32)
     tele = telemetry if telemetry is not None else {}
-    if certificate is None:
-        certificate = image_certificate_flood(values_np, markers, mask)
-    rep, unc, v_lb, v_ub, conv = certificate
-    n_mask = int(mask.sum())
-    tele["uncertain_frac"] = (
-        float(unc.sum()) / n_mask if n_mask else 0.0
+    labels, resolved, unc_count, n_mask = verified_exact_image_flood_jit(
+        jnp.asarray(values_np), jnp.asarray(markers), jnp.asarray(mask),
     )
-    if not conv:
-        tele["path"] = "fallback:certificate-unconverged"
-        tele["repair_frac"] = 1.0
+    unc_count, n_mask = int(unc_count), int(n_mask)
+    tele["uncertain_frac"] = unc_count / n_mask if n_mask else 0.0
+    if not bool(resolved):
+        tele["path"] = "fallback:unresolved"
         return image_watershed(values_np, markers, mask)
-
-    shape = mask.shape
-    offsets, _axes = neighbor_offsets(shape)
-    val_chan = np.zeros(len(offsets), np.int64)
-    labels = dual_schedule_repair(
-        rep, unc, v_lb, v_ub, mask, values_np.reshape(1, -1), offsets,
-        val_chan, offsets, tele
-    )
-    if labels is None:
-        return image_watershed(values_np, markers, mask)
-    return labels
+    tele["path"] = "certified" if unc_count == 0 else "repaired"
+    return np.asarray(labels)

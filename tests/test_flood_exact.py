@@ -116,8 +116,7 @@ class TestExactFlood:
         got = exact_affinity_flood(aff, coords, mask, telemetry=tele)
         np.testing.assert_array_equal(got, oracle)
         assert tele["path"] in (
-            "certified", "repaired", "fallback:tie-sensitive",
-            "fallback:no-native",
+            "certified", "repaired", "fallback:unresolved",
         )
 
     def test_production_class_avoids_fallback(self):
@@ -142,7 +141,7 @@ class TestExactFlood:
         aff, coords, mask = prod_case(seed=1)
         tele = {}
         exact_affinity_flood(aff, coords, mask, telemetry=tele)
-        assert set(tele) >= {"uncertain_frac", "repair_frac", "path"}
+        assert set(tele) >= {"uncertain_frac", "path"}
         assert 0.0 <= tele["uncertain_frac"] <= 1.0
 
 
@@ -209,7 +208,7 @@ class TestDoGExactFlood:
         labels_dev = dev.segment(vol, profile=prof)
         np.testing.assert_array_equal(labels_dev, labels_host)
         assert prof["flood_exact_path"] in (
-            "certified", "repaired", "fallback:tie-sensitive",
+            "certified", "repaired", "fallback:unresolved",
         )
 
     def test_segment_bit_exact_more_seeds(self):
@@ -298,7 +297,7 @@ class TestPipelineExactFlood:
         # telemetry: the per-run fidelity signal
         assert "flood_uncertain_frac" in prof
         assert prof["flood_exact_path"] in (
-            "certified", "repaired", "fallback:tie-sensitive",
+            "certified", "repaired", "fallback:unresolved",
         )
 
     def test_finalize_bit_exact_many_seeds(self):
