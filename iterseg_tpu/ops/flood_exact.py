@@ -1,4 +1,4 @@
-"""Hybrid-exact device watershed: certificate + host repair.
+"""Hybrid-exact device watershed: certificate + verified repair.
 
 The sequential heap flood (reference ``watershed.py:95-159``; oracle
 ``ops/watershed_oracle.affinity_flood_py``) claims each voxel from the
@@ -32,28 +32,30 @@ precise and exploitable:
    minimises actual ``V`` over the neighbours, which the interval filter
    contains.)
 
-*Repair* (host, C++): the uncertain region ``R = unc`` is re-flooded by
-the exact heap restricted to ``R`` plus its certain labelled boundary
-``B``, with boundary seeds released at their virtual pop time — across
-virtual-time classes this reproduces the full heap's pop order exactly.
-*Within* an equal-V class the full heap's FIFO age order depends on
-global context that is not locally recoverable (the known
-age-unknowability of parallel heap simulation), and a V-ambiguous
-boundary's release time is only known as an interval — so the repair
-runs twice, under opposing tie orders AND at the two interval endpoints
-(``native.priority_flood_seeded(tie_reverse=...)``): any label that
-differs between the two schedules is tie-order-sensitive and the caller
-falls back to the **full exact host flood** — correctness never
-regresses below the exact default.
+*Verified repair* (device, XLA): the uncertain region ``R = unc`` is
+resolved by running the certificate a SECOND time on the restricted
+problem — ``R`` plus its certain labelled boundary ``B``, with the
+gates seeded at their ``[v_lb, v_ub]`` release-time intervals.  The
+true heap's restricted execution is one consistent schedule of that
+restricted process (claims into ``R`` only come from ``B ∪ R`` by the
+possible-claimer property), so any ``R`` voxel the restricted
+certificate marks CERTAIN is forced — the acceptance is **proven, not
+heuristic**, and everything stays in one device program.  Residual
+uncertainty means the outcome genuinely depends on the heap's global
+FIFO age order (the known age-unknowability of parallel heap
+simulation) and the caller falls back to the **full exact host
+flood** — bit-exactness holds in every path.  (An earlier dual-schedule
+C++ repair valve was replaced after ``benchmarks/exact_flood_fuzz.py``
+found a false-accept; docs/exact_flood.md records the episode.)
 
 ``exact_affinity_flood`` / ``exact_image_flood`` (the skimage-watershed
 heap of the DoG path — same machinery, node-keyed weights and seeds at
 their own image value) return labels plus a telemetry dict (uncertain
-fraction, repair/fallback path taken) — the per-run fidelity signal the
-approximate ``device_flood`` modes lack.  Measured uncertainty: 0–1.1%
-on distinct-channel continuous affinities (certified/repaired, no
-fallback), ~9% on the trained bench checkpoint (saturated sigmoids tie),
-6–19% on quantised EDT landscapes (tie-sensitive → fallback).
+fraction, path taken) — the per-run fidelity signal the approximate
+``device_flood`` modes lack.  Measured uncertainty: 0–1.1% on
+distinct-channel continuous affinities (certified/repaired, no
+fallback), ~9% on the trained bench checkpoint (saturated sigmoids
+tie), 6–19% on quantised EDT landscapes (unresolved → fallback).
 """
 from __future__ import annotations
 
