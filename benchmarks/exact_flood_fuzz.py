@@ -29,16 +29,20 @@ import numpy as np
 from scipy import ndimage as ndi
 
 
-def random_case(rng):
-    """One random affinity fixture from a random family."""
+def random_case(rng, shapes=None):
+    """One random affinity fixture from a random family.
+
+    ``shapes``: optional shape-bucket list (the in-suite seeded subset,
+    ``tests/test_flood_fuzz.py``, pins one bucket so the certificate
+    compiles once and is shared with the rest of the suite)."""
     family = rng.choice(
         ["noise", "quant", "smooth-dup", "smooth-distinct", "saturated"]
     )
     # fixed shape buckets: each certificate shape compiles once (~30 s
     # on this 1-core host) and every later case of that shape is fast
-    shape = [(8, 16, 16), (10, 20, 24), (12, 24, 20)][
-        int(rng.integers(0, 3))
-    ]
+    if shapes is None:
+        shapes = [(8, 16, 16), (10, 20, 24), (12, 24, 20)]
+    shape = shapes[int(rng.integers(0, len(shapes)))]
     vol = np.zeros(shape, np.float32)
     n = int(rng.integers(1, 14))
     pts = np.stack([rng.integers(2, s - 2, size=n) for s in shape], 1)

@@ -1,0 +1,94 @@
+"""Calibration for ``ops/flood_exact.TIE_PROBE_DEFAULT`` (round 5).
+
+For every fixture class the suite uses (tests/test_flood_exact.py), this
+measures the tie-density probe's signal against the ground truth it
+predicts — the full certificate's uncertain fraction and routing
+outcome — so the early-exit threshold separates the two regimes with
+margin:
+
+- continuous fixtures (white noise, distinct smooth channels): exact f32
+  arc collisions are ~absent -> tie_frac ~ 0, certificate certifies or
+  repairs.  The threshold must NOT reroute these.
+- massed-tie fixtures (quantised, duplicated channels, saturated
+  sigmoids, quantised EDT images): tie_frac is orders of magnitude
+  above any repaired case and the repair detects tie-sensitivity ->
+  fallback.  The threshold must catch these at ~the probe's cost.
+
+Run (CPU):
+
+    PYTHONPATH='' JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+        python benchmarks/tie_probe_calibration.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from test_device_flood import edt_case, make_case, smooth_case
+    from test_flood_exact import prod_case
+
+    from iterseg_tpu.ops.flood_exact import (
+        TIE_PROBE_DEFAULT,
+        verified_exact_flood_jit,
+        verified_exact_image_flood_jit,
+    )
+
+    def seeds_of(coords, mask):
+        seeds = np.zeros(mask.shape, np.int32)
+        if len(coords):
+            seeds[tuple(np.asarray(coords).T)] = np.arange(
+                1, len(coords) + 1, dtype=np.int32)
+        return seeds
+
+    rows = []
+    fixtures = [
+        ("noise", lambda s: make_case(seed=s)),
+        ("quant", lambda s: make_case(seed=s, quantised=True)),
+        ("smooth-dup", lambda s: smooth_case(seed=s)),
+        ("prod", lambda s: prod_case(seed=s)),
+    ]
+    for name, fix in fixtures:
+        for s in range(3):
+            aff, coords, mask = fix(s)
+            seeds = seeds_of(coords, mask)
+            # probe signal (tie_probe armed at an impossible threshold so
+            # the certificate still runs and reports ground truth)
+            _l, resolved, unc, n_mask, tie = verified_exact_flood_jit(
+                jnp.asarray(np.asarray(aff, np.float32)),
+                jnp.asarray(seeds), jnp.asarray(mask), tie_probe=2.0,
+            )
+            rows.append((f"aff:{name}", s, float(tie),
+                         int(unc) / max(int(n_mask), 1), bool(resolved)))
+    for s in range(3):
+        image, markers, mask = edt_case(seed=s)
+        _l, resolved, unc, n_mask, tie = verified_exact_image_flood_jit(
+            jnp.asarray(np.asarray(image, np.float32)),
+            jnp.asarray(np.asarray(markers, np.int32)),
+            jnp.asarray(mask), tie_probe=2.0,
+        )
+        rows.append(("img:edt", s, float(tie),
+                     int(unc) / max(int(n_mask), 1), bool(resolved)))
+
+    print(f"{'fixture':<16}{'seed':<6}{'tie_frac':<12}"
+          f"{'uncertain':<12}{'resolved'}")
+    for name, s, tie, unc, res in rows:
+        print(f"{name:<16}{s:<6}{tie:<12.5f}{unc:<12.5f}{res}")
+    lo = max(t for n, _, t, _, r in rows if r and t is not None)
+    hi = min(t for n, _, t, _, r in rows if not r)
+    print(f"\nmax tie_frac among RESOLVED runs:   {lo:.5f}")
+    print(f"min tie_frac among UNRESOLVED runs: {hi:.5f}")
+    print(f"threshold TIE_PROBE_DEFAULT = {TIE_PROBE_DEFAULT} "
+          f"{'separates' if lo < TIE_PROBE_DEFAULT < hi else 'DOES NOT separate'} the regimes")
+
+
+if __name__ == "__main__":
+    main()

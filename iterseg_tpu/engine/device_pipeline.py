@@ -243,17 +243,53 @@ def _cached_flood_telemetry(pshape, cap):
     return _GATHER_CACHE[key]
 
 
+def _cached_tie_probe(pshape):
+    """Async tie-density probe for ``device_flood="exact"`` (round 5):
+    consumes the DEVICE-RESIDENT ``mask_packed`` + ``aff_pad`` from the
+    main program's outputs (zero upload), returns one f32 scalar — the
+    fraction of in-mask voxels with exactly tied claim competitions on
+    the PRE-size-filter mask (a superset of the flood's mask; the
+    density signal is seed- and filter-independent to first order, and
+    the in-program probe on the filtered mask still guards the final
+    decision).  Dispatched at the top of ``_finalize`` so it rides
+    under the host spacing/filter work; the caller reads it just before
+    committing to the certificate."""
+    key = ("tie_probe", pshape)
+    if key not in _GATHER_CACHE:
+        from ..ops.flood_exact import _affinity_ties, _edge_weights
+
+        zyx = tuple(s - 2 for s in pshape)
+        psize = int(np.prod(zyx))
+
+        @jax.jit
+        def fn(mask_packed, aff_pad):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits MSB
+            flat = ((mask_packed[:, None] >> shifts) & 1).reshape(-1)
+            mask = flat[:psize].astype(bool).reshape(zyx)
+            mask_pad = jnp.pad(mask, 1)
+            weights = _edge_weights(aff_pad, 3)
+            ties = _affinity_ties(weights, mask_pad)
+            n = jnp.sum(mask_pad)
+            return (jnp.sum(ties).astype(jnp.float32)
+                    / jnp.maximum(n, 1).astype(jnp.float32))
+
+        _GATHER_CACHE[key] = fn
+    return _GATHER_CACHE[key]
+
+
 def _cached_exact_flood(pshape, cap, wide):
     """Device program for ``device_flood="exact"``: unpack the filtered
     mask bits + scatter seeds (as ``_cached_flood_prep``), then run the
     fully device-resident verified exact flood
     (``ops/flood_exact.verified_exact_flood_jit``: certificate +
-    PROVEN restricted repair).  Only wire-dtype labels and three scalars
-    come back; ``resolved`` False sends the caller to the exact host
-    flood."""
+    PROVEN restricted repair, behind the tie-density early exit that
+    bounds the mode's worst case to ~the probe cost).  Only wire-dtype
+    labels and four scalars come back; ``resolved`` False sends the
+    caller to the exact host flood."""
     key = ("exact_flood", pshape, cap, bool(wide))
     if key not in _GATHER_CACHE:
-        from ..ops.flood_exact import verified_exact_flood_jit
+        from ..ops.flood_exact import (TIE_PROBE_DEFAULT,
+                                       verified_exact_flood_jit)
 
         psize = int(np.prod(pshape))
         dtype = jnp.int32 if wide else jnp.uint16
@@ -266,10 +302,12 @@ def _cached_exact_flood(pshape, cap, wide):
             seeds = jnp.zeros(pshape, jnp.int32).at[
                 coords[:, 0], coords[:, 1], coords[:, 2]
             ].max(labs)
-            labels, resolved, unc_count, n_mask = (
-                verified_exact_flood_jit(aff_pad, seeds, mask)
+            labels, resolved, unc_count, n_mask, tie_frac = (
+                verified_exact_flood_jit(aff_pad, seeds, mask,
+                                         tie_probe=TIE_PROBE_DEFAULT)
             )
-            return labels.astype(dtype), resolved, unc_count, n_mask
+            return (labels.astype(dtype), resolved, unc_count, n_mask,
+                    tie_frac)
 
         _GATHER_CACHE[key] = fn
     return _GATHER_CACHE[key]
@@ -287,7 +325,8 @@ def _cached_dog_exact_flood(pshape, cap, wide):
     caller checks the returned ``max_key`` and falls back past it."""
     key = ("dog_exact_flood", pshape, cap, bool(wide))
     if key not in _GATHER_CACHE:
-        from ..ops.flood_exact import verified_exact_image_flood_jit
+        from ..ops.flood_exact import (TIE_PROBE_DEFAULT,
+                                       verified_exact_image_flood_jit)
 
         psize = int(np.prod(pshape))
         dtype = jnp.int32 if wide else jnp.uint16
@@ -301,13 +340,14 @@ def _cached_dog_exact_flood(pshape, cap, wide):
                 coords[:, 0], coords[:, 1], coords[:, 2]
             ].max(labs)
             values = -dist_sq.astype(jnp.float32)
-            labels, resolved, unc_count, n_mask = (
-                verified_exact_image_flood_jit(values, seeds, mask)
+            labels, resolved, unc_count, n_mask, tie_frac = (
+                verified_exact_image_flood_jit(
+                    values, seeds, mask, tie_probe=TIE_PROBE_DEFAULT)
             )
             max_key = jnp.max(jnp.where(mask, dist_sq, 0)).astype(
                 jnp.int32)
             return (labels.astype(dtype), resolved, unc_count, n_mask,
-                    max_key)
+                    tie_frac, max_key)
 
         _GATHER_CACHE[key] = fn
     return _GATHER_CACHE[key]
@@ -897,7 +937,7 @@ class AffinityPipeline:
         return labels
 
     def _flood_exact(self, aff_pad, mask_pad, centroids, out=None,
-                     profile=None):
+                     profile=None, pre_tie_frac=None):
         """``device_flood="exact"``: the fully device-resident verified
         exact flood (``ops/flood_exact``) — labels BIT-EQUAL to the
         exact host heap, PROVEN per run (certificate + restricted-repair
@@ -905,8 +945,16 @@ class AffinityPipeline:
         wire-dtype labels + three scalars come back.  Returns cropped
         int32 labels, or ``None`` when some ambiguity survives even
         locally (caller falls back to the exact host flood — exactness
-        never regresses; the path is recorded in ``profile``)."""
+        never regresses; the path is recorded in ``profile``).
+
+        ``pre_tie_frac``: the early-dispatched probe's tie density
+        (``_cached_tie_probe``) — above the threshold the certificate is
+        doomed to the unresolved fallback, so the mode returns ``None``
+        immediately, bounding its worst-case overhead to ~the probe cost
+        (which itself hid under the host filter work)."""
         import time as _time
+
+        from ..ops.flood_exact import TIE_PROBE_DEFAULT
 
         def tick(name, t0):
             if profile is not None:
@@ -914,6 +962,12 @@ class AffinityPipeline:
                     _time.perf_counter() - t0
                 )
             return _time.perf_counter()
+
+        if pre_tie_frac is not None and pre_tie_frac > TIE_PROBE_DEFAULT:
+            if profile is not None:
+                profile["flood_tie_frac"] = pre_tie_frac
+                profile["flood_exact_path"] = "fallback:tie-density"
+            return None
 
         t0 = _time.perf_counter()
         pshape = mask_pad.shape
@@ -925,19 +979,29 @@ class AffinityPipeline:
         labs[:n] = np.arange(1, n + 1, dtype=np.int32)
         bits = np.packbits(mask_pad.view(np.bool_).ravel())
         wide = n >= 2 ** 16
-        lab_dev, resolved, unc_count, n_mask = _cached_exact_flood(
-            pshape, cap, wide
-        )(jnp.asarray(bits), jnp.asarray(coords), jnp.asarray(labs),
-          aff_pad)
+        lab_dev, resolved, unc_count, n_mask, tie_frac = (
+            _cached_exact_flood(pshape, cap, wide)(
+                jnp.asarray(bits), jnp.asarray(coords),
+                jnp.asarray(labs), aff_pad)
+        )
         try:
             lab_dev.copy_to_host_async()
         except AttributeError:
             pass
         unc_count, n_mask = int(unc_count), int(n_mask)  # fences
         if profile is not None:
-            profile["flood_uncertain_frac"] = (
-                unc_count / n_mask if n_mask else 0.0
-            )
+            profile["flood_tie_frac"] = float(tie_frac)
+            if unc_count >= 0:
+                profile["flood_uncertain_frac"] = (
+                    unc_count / n_mask if n_mask else 0.0
+                )
+        if unc_count < 0:
+            # tie-density early exit: the certificate never ran — the
+            # device program cost ~one probe pass-set (bounds the exact
+            # mode's worst case; ops/flood_exact.TIE_PROBE_DEFAULT)
+            if profile is not None:
+                profile["flood_exact_path"] = "fallback:tie-density"
+            return None
         if not bool(resolved):
             if profile is not None:
                 profile["flood_exact_path"] = "fallback:unresolved"
@@ -1072,9 +1136,21 @@ class AffinityPipeline:
         mask_pad = np.pad(mask_u8, 1)
         t0 = tick("download_mask_cands", t0)
 
-        if not self.device_flood:
+        probe_dev = None
+        if self.device_flood == "exact":
+            # async tie-density probe on the device-resident outputs
+            # (zero upload): its scalar decides certificate-vs-fallback
+            # after the host filter work it hides under
+            probe_dev = _cached_tie_probe(mask_pad.shape)(
+                mask_packed, aff_pad
+            )
+        if not self.device_flood or self.device_flood == "exact":
             # dispatch the affinity gather at the pre-filter mask and let
-            # the D2H copy run while the host does spacing + size filtering
+            # the D2H copy run while the host does spacing + size
+            # filtering (in exact mode the gather doubles as the
+            # fallback's input, so its download hides under the host
+            # work exactly as on the default path — the certified case
+            # pays one unused download, overlapped with the certificate)
             pre_idx, m, capacity, idx_up, vals_dev = self._dispatch_gather(
                 aff_pad, mask_pad
             )
@@ -1112,23 +1188,29 @@ class AffinityPipeline:
 
         if self.device_flood:
             if len(centroids):
-                flood = (self._flood_exact
-                         if self.device_flood == "exact"
-                         else self._flood_on_device)
-                labels = flood(
-                    aff_pad, mask_pad, centroids, out=out, profile=profile
-                )
+                if self.device_flood == "exact":
+                    labels = self._flood_exact(
+                        aff_pad, mask_pad, centroids, out=out,
+                        profile=profile,
+                        pre_tie_frac=(float(probe_dev)
+                                      if probe_dev is not None else None),
+                    )
+                else:
+                    labels = self._flood_on_device(
+                        aff_pad, mask_pad, centroids, out=out,
+                        profile=profile
+                    )
                 if labels is not None:
                     return labels
-                # rare fallback: the wavefront flood did not converge
-                # within max_iters (or the exact mode's repair proved
-                # tie-sensitive) — run the exact host flood instead
-                # (gather dispatched only now; serial, nothing to hide it
-                # under)
-            pre_idx, m, capacity, idx_up, vals_dev = self._dispatch_gather(
-                aff_pad, mask_pad
-            )
-            t0 = tick("gather_dispatch", t0)
+                # fallback: the wavefront flood did not converge within
+                # max_iters, or the exact mode routed to the host flood
+                # (tie density / unresolved repair) — in exact mode the
+                # gather is already downloading from the early dispatch
+            if self.device_flood != "exact":
+                pre_idx, m, capacity, idx_up, vals_dev = (
+                    self._dispatch_gather(aff_pad, mask_pad)
+                )
+                t0 = tick("gather_dispatch", t0)
 
         vals = np.asarray(vals_dev)[:, :m]
         t0 = tick("gather_affinities", t0)
@@ -1389,7 +1471,7 @@ class DoGPipeline:
             return _time.perf_counter()
 
         t0 = _time.perf_counter()
-        lab_dev, resolved, unc_count, n_mask, max_key = (
+        lab_dev, resolved, unc_count, n_mask, tie_frac, max_key = (
             _cached_dog_exact_flood(pshape, scap, wide=n_ids >= 2 ** 16)(
                 mask_packed, dist_sq, jnp.asarray(cs), jnp.asarray(ls)
             )
@@ -1400,9 +1482,16 @@ class DoGPipeline:
             pass
         unc_count, n_mask = int(unc_count), int(n_mask)  # fences
         if profile is not None:
-            profile["flood_uncertain_frac"] = (
-                unc_count / n_mask if n_mask else 0.0
-            )
+            profile["flood_tie_frac"] = float(tie_frac)
+            if unc_count >= 0:
+                profile["flood_uncertain_frac"] = (
+                    unc_count / n_mask if n_mask else 0.0
+                )
+        if unc_count < 0:
+            # tie-density early exit (see the affinity twin)
+            if profile is not None:
+                profile["flood_exact_path"] = "fallback:tie-density"
+            return None
         if int(max_key) >= native.BUCKET_FLOOD_MAX_KEY:
             # past this bound distinct d² can collide in the f32 -sqrt
             # priorities the production flood uses, so the -d² flood is

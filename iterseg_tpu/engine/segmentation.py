@@ -192,6 +192,7 @@ def affinity_watershed_for_chunks(
     use_device_pipeline=True,
     device_flood=False,
     flood_telemetry=False,
+    device_normalize=False,
     profile=None,
     **kwargs,
 ):
@@ -218,12 +219,13 @@ def affinity_watershed_for_chunks(
         # normalized so True and its resolved kernel name share one entry
         device_flood = AffinityPipeline.normalize_device_flood(device_flood)
         key = (tuple(chunk_size), tuple(margin), device_flood,
-               bool(flood_telemetry))
+               bool(flood_telemetry), bool(device_normalize))
         if key not in pipeline_cache:
             pipeline_cache[key] = AffinityPipeline(
                 unet, chunk_size=chunk_size, margin=margin,
                 device_flood=device_flood,
                 flood_telemetry=flood_telemetry,
+                normalize=bool(device_normalize),
             )
         # the flood writes straight into the padded label buffer, exactly
         # like the generic path's out=current_output.ravel()
@@ -795,8 +797,11 @@ def segmentation_loop(
     (parity: segmentation.py:833-882)."""
     ndim = getattr(data, "ndim", len(data.shape))
     if ndim == 3:
+        # source dtype preserved: segment_single_volume ships integer
+        # volumes over the link as-is when the device pipeline will
+        # normalise on device (f32 cast happens there otherwise)
         output = segment_single_volume(
-            np.asarray(data).astype(np.float32), chunk_size, config, margin,
+            np.asarray(data), chunk_size, config, margin,
             processing_function,
         )
         output_labels[...] = output
@@ -857,7 +862,7 @@ def segmentation_loop(
     for t in range(data.shape[0]):
         if np.any(np.asarray(output_labels[t])):
             continue  # warm restart: frame already segmented
-        input_volume = np.asarray(data[t]).astype(np.float32)
+        input_volume = np.asarray(data[t])
         current_output = segment_single_volume(
             input_volume, chunk_size, config, margin, processing_function
         )
@@ -874,9 +879,36 @@ def segment_single_volume(input_volume, chunk_size, config, margin,
     hyperplanes, the labels are scattered back to the original frame shape
     (removed planes stay background) — the reference crashes on the
     writeback in that case.
+
+    Integer wire format (round 5, VERDICT r4 #3a): when the affinity
+    device pipeline will run and the volume is integer-typed (itemsize
+    <= 4 — microscopy's u8/u16), the host normalisation is SKIPPED and
+    the volume ships over the host link in its source dtype; the /max
+    happens on device inside the forward executable (u16 halves, u8
+    quarters, the upload bytes of f32).  Bit-identical to the host
+    ``prepare_volume`` route: int → f32 conversion is exact, max is
+    exact selection, same f32 division — the same argument (and
+    machinery, ``device_pipeline._prepare_frame``) as the 4D stack
+    paths, pinned in tests/test_engine.py.
     """
-    original_shape = np.asarray(input_volume).shape
-    input_volume, kept = prepare_volume(input_volume, return_kept=True)
+    raw = np.asarray(input_volume)
+    original_shape = raw.shape
+    integer_wire = (
+        processing_function is affinity_watershed_for_chunks
+        and config.get("use_device_pipeline", True)
+        and config.get("unet") is not None
+        and getattr(config.get("output_volume"), "shape", (0,))[0] == 5
+        and np.issubdtype(raw.dtype, np.integer)
+        and raw.dtype.itemsize <= 4
+    )
+    if integer_wire:
+        from .device_pipeline import _prepare_frame
+
+        input_volume, kept, _dev_norm = _prepare_frame(raw)
+        config = {**config, "device_normalize": True}
+    else:
+        input_volume, kept = prepare_volume(raw.astype(np.float32),
+                                            return_kept=True)
     current_output = np.pad(
         np.zeros(input_volume.shape, dtype=np.int32), 1, mode="constant",
     )

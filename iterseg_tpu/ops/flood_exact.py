@@ -76,7 +76,20 @@ __all__ = [
     "verified_exact_image_flood_jit",
     "exact_affinity_flood",
     "exact_image_flood",
+    "TIE_PROBE_DEFAULT",
 ]
+
+# Tie-density early exit (the exact mode's worst-case bound): when the
+# fraction of in-mask voxels with EXACTLY tied claim competitions
+# exceeds this, the certificate is doomed to the unresolved fallback
+# (measured: uncertain fraction reaches ~9% on the trained checkpoint's
+# saturated sigmoids and 6-19% on quantised EDT landscapes — both
+# orders of magnitude past any repaired case), so the device program
+# skips phases A-C + repair entirely (`lax.cond`) and the caller goes
+# straight to the exact host flood.  The probe is one elementwise
+# pass-set; calibration in benchmarks/tie_probe_calibration.py.
+# Performance heuristic only — every routing outcome is still exact.
+TIE_PROBE_DEFAULT = 0.02
 
 
 def _neighbour_views(arrs, fills):
@@ -316,8 +329,38 @@ def image_certificate_flood(values, markers_or_coords, mask,
             np.asarray(v_ub), bool(conv))
 
 
+def _affinity_ties(weights, mask):
+    """Voxels whose claim competition is EXACTLY tied on arc values: >=2
+    in-mask incoming arcs with bit-equal f32 weights.  The heap breaks
+    such ties by its global FIFO age — the one quantity no device
+    schedule can reproduce — so their density predicts the certificate's
+    uncertain set (docs/exact_flood.md §3)."""
+    valid = [m for (m,) in _neighbour_views([mask], [False])]
+    tie = jnp.zeros(mask.shape, bool)
+    for i in range(len(weights)):
+        for j in range(i + 1, len(weights)):
+            tie = tie | (valid[i] & valid[j]
+                         & (weights[i] == weights[j]))
+    return tie & mask
+
+
+def _image_ties(values, mask):
+    """Image-flood twin: every incoming arc shares the node's own value,
+    so arc ties are trivial — claimer competitions tie when NEIGHBOUR
+    virtual times do, whose ground source is bit-equal neighbour image
+    values (quantised EDT landscapes are the measured offender)."""
+    nbrs = _neighbour_views([values, mask], [_BIG, False])
+    tie = jnp.zeros(mask.shape, bool)
+    for i in range(len(nbrs)):
+        v_i, m_i = nbrs[i]
+        for j in range(i + 1, len(nbrs)):
+            v_j, m_j = nbrs[j]
+            tie = tie | (m_i & m_j & (v_i == v_j))
+    return tie & mask
+
+
 def _verified_core(weights, seeds, mask, seed_values, max_iters,
-                   check_every):
+                   check_every, ties=None, tie_probe=0.0):
     """Certificate + on-device VERIFIED repair (shared by both modes).
 
     Runs the certificate, then re-runs it on the RESTRICTED problem —
@@ -332,57 +375,88 @@ def _verified_core(weights, seeds, mask, seed_values, max_iters,
     sampled tie orders agreed while the heap's global FIFO age order
     differed.)
 
-    Returns ``(labels, resolved, unc_count, n_mask)``; ``resolved``
-    False means ambiguity survives even locally — the caller must fall
-    back to the full exact host flood.  ``R`` empty degenerates to the
-    pure certified path (``resolved`` iff converged).
+    Returns ``(labels, resolved, unc_count, n_mask, tie_frac)``;
+    ``resolved`` False means ambiguity survives even locally — the
+    caller must fall back to the full exact host flood.  ``R`` empty
+    degenerates to the pure certified path (``resolved`` iff converged).
+
+    ``ties``/``tie_probe``: the early exit (module doc at
+    ``TIE_PROBE_DEFAULT``).  When the tied fraction exceeds
+    ``tie_probe`` the certificate + repair are SKIPPED on device
+    (``lax.cond``) and the call returns ``resolved=False,
+    unc_count=-1`` at ~the probe's cost; ``tie_probe=0`` disables.
     """
     mask_b = mask.astype(bool)
-    rep, unc, v_lb, v_ub, conv = _certificate_core(
-        weights, seeds, mask_b, seed_values, max_iters, check_every
+    n_mask = jnp.sum(mask_b).astype(jnp.int32)
+
+    def run_certificate(_):
+        rep, unc, v_lb, v_ub, conv = _certificate_core(
+            weights, seeds, mask_b, seed_values, max_iters, check_every
+        )
+        R = unc
+        grow = R
+        for (r_n,) in _neighbour_views([R], [False]):
+            grow = grow | r_n
+        B = grow & ~R & (rep > 0)
+        mask_r = R | B
+        seeds_r = jnp.where(B, rep, 0)
+        rep_r, unc_r, _lb_r, _ub_r, conv_r = _certificate_core(
+            weights, seeds_r, mask_r, v_lb, max_iters, check_every,
+            seed_values_ub=v_ub,
+        )
+        resolved = conv & conv_r & jnp.logical_not(jnp.any(unc_r & R))
+        labels = jnp.where(mask_b, jnp.where(R, rep_r, rep), 0)
+        return (labels.astype(jnp.int32), resolved,
+                jnp.sum(unc).astype(jnp.int32))
+
+    if ties is None or tie_probe <= 0.0:
+        labels, resolved, unc_count = run_certificate(None)
+        return labels, resolved, unc_count, n_mask, jnp.float32(0.0)
+
+    tie_frac = (jnp.sum(ties).astype(jnp.float32)
+                / jnp.maximum(n_mask, 1).astype(jnp.float32))
+
+    def skip(_):
+        return (jnp.zeros(mask_b.shape, jnp.int32), jnp.bool_(False),
+                jnp.int32(-1))
+
+    labels, resolved, unc_count = jax.lax.cond(
+        tie_frac <= jnp.float32(tie_probe), run_certificate, skip, None
     )
-    R = unc
-    grow = R
-    for (r_n,) in _neighbour_views([R], [False]):
-        grow = grow | r_n
-    B = grow & ~R & (rep > 0)
-    mask_r = R | B
-    seeds_r = jnp.where(B, rep, 0)
-    rep_r, unc_r, _lb_r, _ub_r, conv_r = _certificate_core(
-        weights, seeds_r, mask_r, v_lb, max_iters, check_every,
-        seed_values_ub=v_ub,
-    )
-    resolved = conv & conv_r & jnp.logical_not(jnp.any(unc_r & R))
-    labels = jnp.where(mask_b, jnp.where(R, rep_r, rep), 0)
-    return (labels.astype(jnp.int32), resolved,
-            jnp.sum(unc).astype(jnp.int32),
-            jnp.sum(mask_b).astype(jnp.int32))
+    return labels, resolved, unc_count, n_mask, tie_frac
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "check_every")
+    jax.jit, static_argnames=("max_iters", "check_every", "tie_probe")
 )
 def verified_exact_flood_jit(affinities, seeds, mask, max_iters=1024,
-                             check_every=8):
+                             check_every=8, tie_probe=0.0):
     """Fully device-resident exact affinity flood: certificate +
     verified restricted repair.  Returns ``(labels, resolved,
-    unc_count, n_mask)`` — labels are the heap's bit-for-bit when
-    ``resolved``; otherwise the caller must run the exact host flood."""
+    unc_count, n_mask, tie_frac)`` — labels are the heap's bit-for-bit
+    when ``resolved``; otherwise the caller must run the exact host
+    flood.  ``tie_probe > 0`` arms the on-device early exit
+    (``unc_count == -1`` marks a probe skip)."""
+    mask_b = mask.astype(bool)
     weights = _edge_weights(affinities, mask.ndim)
-    return _verified_core(weights, seeds, mask, 0.0, max_iters,
-                          check_every)
+    ties = (_affinity_ties(weights, mask_b) if tie_probe > 0.0
+            else None)
+    return _verified_core(weights, seeds, mask_b, 0.0, max_iters,
+                          check_every, ties=ties, tie_probe=tie_probe)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "check_every")
+    jax.jit, static_argnames=("max_iters", "check_every", "tie_probe")
 )
 def verified_exact_image_flood_jit(values, seeds, mask, max_iters=1024,
-                                   check_every=8):
+                                   check_every=8, tie_probe=0.0):
     """Image-watershed twin of ``verified_exact_flood_jit``."""
+    mask_b = mask.astype(bool)
     values = values.astype(jnp.float32)
     weights = [values] * (2 * mask.ndim)
-    return _verified_core(weights, seeds, mask, values, max_iters,
-                          check_every)
+    ties = (_image_ties(values, mask_b) if tie_probe > 0.0 else None)
+    return _verified_core(weights, seeds, mask_b, values, max_iters,
+                          check_every, ties=ties, tie_probe=tie_probe)
 
 
 def _full_host_flood(affinities, marker_coords, mask):
@@ -391,16 +465,36 @@ def _full_host_flood(affinities, marker_coords, mask):
     return affinity_watershed(affinities, marker_coords, mask)
 
 
+def _fill_telemetry(tele, resolved, unc_count, n_mask, tie_frac):
+    """Shared path/telemetry decode: returns True when the caller must
+    run the exact host flood."""
+    unc_count, n_mask = int(unc_count), int(n_mask)
+    tele["tie_frac"] = float(tie_frac)
+    if unc_count < 0:  # on-device early exit: certificate never ran
+        tele["uncertain_frac"] = None
+        tele["path"] = "fallback:tie-density"
+        return True
+    tele["uncertain_frac"] = unc_count / n_mask if n_mask else 0.0
+    if not bool(resolved):
+        tele["path"] = "fallback:unresolved"
+        return True
+    tele["path"] = "certified" if unc_count == 0 else "repaired"
+    return False
+
+
 def exact_affinity_flood(affinities, marker_coords, mask,
-                         telemetry=None):
+                         telemetry=None, tie_probe=TIE_PROBE_DEFAULT):
     """Labels bit-equal to the exact heap flood
     (``watershed_oracle.affinity_flood_py`` semantics), via the
     device-resident certificate + verified restricted repair; falls back
     to the full host flood whenever the repair cannot be PROVEN
     schedule-independent (see module doc / docs/exact_flood.md).
 
-    ``telemetry``: optional dict, filled with ``uncertain_frac`` and
-    ``path`` ("certified" | "repaired" | "fallback:*").
+    ``telemetry``: optional dict, filled with ``uncertain_frac``,
+    ``tie_frac`` and ``path`` ("certified" | "repaired" |
+    "fallback:*").  ``tie_probe``: tied-voxel fraction above which the
+    device program skips the certificate and goes straight to the host
+    flood (0 disables; see ``TIE_PROBE_DEFAULT``).
     """
     mask = np.asarray(mask).astype(bool)
     mc = np.asarray(marker_coords)
@@ -408,20 +502,20 @@ def exact_affinity_flood(affinities, marker_coords, mask,
     seeds = np.zeros(mask.shape, np.int32)
     if len(mc):
         seeds[tuple(mc.T)] = np.arange(1, len(mc) + 1, dtype=np.int32)
-    labels, resolved, unc_count, n_mask = verified_exact_flood_jit(
-        jnp.asarray(np.asarray(affinities, np.float32)),
-        jnp.asarray(seeds), jnp.asarray(mask),
+    labels, resolved, unc_count, n_mask, tie_frac = (
+        verified_exact_flood_jit(
+            jnp.asarray(np.asarray(affinities, np.float32)),
+            jnp.asarray(seeds), jnp.asarray(mask),
+            tie_probe=float(tie_probe),
+        )
     )
-    unc_count, n_mask = int(unc_count), int(n_mask)
-    tele["uncertain_frac"] = unc_count / n_mask if n_mask else 0.0
-    if not bool(resolved):
-        tele["path"] = "fallback:unresolved"
+    if _fill_telemetry(tele, resolved, unc_count, n_mask, tie_frac):
         return _full_host_flood(affinities, mc, mask)
-    tele["path"] = "certified" if unc_count == 0 else "repaired"
     return np.asarray(labels)
 
 
-def exact_image_flood(values, markers_or_coords, mask, telemetry=None):
+def exact_image_flood(values, markers_or_coords, mask, telemetry=None,
+                      tie_probe=TIE_PROBE_DEFAULT):
     """Image-watershed twin of :func:`exact_affinity_flood`: labels
     bit-equal to ``watershed_oracle.image_flood_py`` / the exact host
     image flood."""
@@ -438,13 +532,12 @@ def exact_image_flood(values, markers_or_coords, mask, telemetry=None):
             markers[tuple(m.T)] = np.arange(1, len(m) + 1,
                                             dtype=np.int32)
     tele = telemetry if telemetry is not None else {}
-    labels, resolved, unc_count, n_mask = verified_exact_image_flood_jit(
-        jnp.asarray(values_np), jnp.asarray(markers), jnp.asarray(mask),
+    labels, resolved, unc_count, n_mask, tie_frac = (
+        verified_exact_image_flood_jit(
+            jnp.asarray(values_np), jnp.asarray(markers),
+            jnp.asarray(mask), tie_probe=float(tie_probe),
+        )
     )
-    unc_count, n_mask = int(unc_count), int(n_mask)
-    tele["uncertain_frac"] = unc_count / n_mask if n_mask else 0.0
-    if not bool(resolved):
-        tele["path"] = "fallback:unresolved"
+    if _fill_telemetry(tele, resolved, unc_count, n_mask, tie_frac):
         return image_watershed(values_np, markers, mask)
-    tele["path"] = "certified" if unc_count == 0 else "repaired"
     return np.asarray(labels)

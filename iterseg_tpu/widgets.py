@@ -191,31 +191,38 @@ def train_from_viewer(
     )
 
 
-def construct_channels_list(affinities_extent, mask_prediction,
-                            centre_predicition):
-    """(('z-1', ..., mask, centre),) from widget options
-    (parity: _dock_widgets.py:186-209)."""
-    dims = ("z", "y", "x")
-    affs = []
+def _per_axis_extent(affinities_extent, dims):
+    """Validated per-axis affinity extents: the widget accepts a scalar
+    (broadcast to every axis) or a per-axis tuple.  The assertion /
+    TypeError strings are part of the widget-behavior parity contract."""
     if isinstance(affinities_extent, tuple):
-        m = (
+        assert len(affinities_extent) == len(dims), (
             "please ensure the length of the affinities extent tuple "
             f"matches the number of dims in {dims}"
         )
-        assert len(affinities_extent) == len(dims), m
-    elif isinstance(affinities_extent, int):
-        affinities_extent = (affinities_extent,) * len(dims)
-    else:
-        raise TypeError(
-            "Please insert affinities extent of type tuple or int "
-            "(e.g., 1 or (2, 2, 1))"
-        )
-    for i, d in enumerate(dims):
-        for n in range(1, affinities_extent[i] + 1):
-            affs.append(f"{d}-{n}")
-    affs.append(mask_prediction)
-    affs.append(centre_predicition)
-    return [tuple(affs)]
+        return affinities_extent
+    if isinstance(affinities_extent, int):
+        return (affinities_extent,) * len(dims)
+    raise TypeError(
+        "Please insert affinities extent of type tuple or int "
+        "(e.g., 1 or (2, 2, 1))"
+    )
+
+
+def construct_channels_list(affinities_extent, mask_prediction,
+                            centre_predicition):
+    """The one training-channels tuple — ``('z-1', …, 'x-1', mask,
+    centre)`` — the widget's options denote (behavior parity:
+    _dock_widgets.py:186-209; the channel-name grammar is
+    ``train/train_io``'s input contract)."""
+    dims = ("z", "y", "x")
+    affinity_names = [
+        f"{d}-{n}"
+        for d, extent in zip(dims, _per_axis_extent(affinities_extent,
+                                                    dims))
+        for n in range(1, extent + 1)
+    ]
+    return [tuple(affinity_names + [mask_prediction, centre_predicition])]
 
 
 def construct_conditions_list(image_list, loss_function, learning_rate,
@@ -788,13 +795,18 @@ def ground_truth_from_ROI(
 
 
 def find_matching_labels(napari_viewer, labels):
-    lab_idxs = np.where(labels > 0)
-    matches = []
-    for i, l in enumerate(napari_viewer.layers):
-        if is_labels_layer(l):
-            res = np.min(np.asarray(l.data)[lab_idxs] == labels[lab_idxs])
-            if res:
-                matches.append(i)
-    if len(matches) > 1:
+    """The viewer labels-layer whose data agrees with ``labels`` on
+    every foreground voxel; first match wins, with the reference's
+    duplicate warning (behavior parity: _dock_widgets.py:1336-1352,
+    including the all-background ValueError from the empty reduction)."""
+    foreground = np.where(labels > 0)
+    wanted = labels[foreground]
+    matching = [
+        layer
+        for layer in napari_viewer.layers
+        if is_labels_layer(layer)
+        and bool((np.asarray(layer.data)[foreground] == wanted).min())
+    ]
+    if len(matching) > 1:
         print("multiple identical labels found... using the first...")
-    return napari_viewer.layers[matches[0]]
+    return matching[0]

@@ -117,6 +117,7 @@ class TestExactFlood:
         np.testing.assert_array_equal(got, oracle)
         assert tele["path"] in (
             "certified", "repaired", "fallback:unresolved",
+            "fallback:tie-density",
         )
 
     def test_production_class_avoids_fallback(self):
@@ -141,8 +142,39 @@ class TestExactFlood:
         aff, coords, mask = prod_case(seed=1)
         tele = {}
         exact_affinity_flood(aff, coords, mask, telemetry=tele)
-        assert set(tele) >= {"uncertain_frac", "path"}
+        assert set(tele) >= {"uncertain_frac", "path", "tie_frac"}
         assert 0.0 <= tele["uncertain_frac"] <= 1.0
+        assert 0.0 <= tele["tie_frac"] <= 1.0
+
+    def test_tie_probe_early_exit(self):
+        """The quantised fixture's massed exact-value ties must trip the
+        on-device early exit (uncertain_frac None: the certificate never
+        ran) while staying bit-exact via the host flood; tie_probe=0
+        disables the probe and recovers the full-certificate telemetry."""
+        aff, coords, mask = make_case(seed=0, quantised=True)
+        oracle = affinity_flood_py(aff, coords, mask.copy())
+        tele = {}
+        got = exact_affinity_flood(aff, coords, mask, telemetry=tele)
+        np.testing.assert_array_equal(got, oracle)
+        assert tele["path"] == "fallback:tie-density"
+        assert tele["uncertain_frac"] is None
+        assert tele["tie_frac"] > 0.02
+        tele0 = {}
+        got0 = exact_affinity_flood(aff, coords, mask, telemetry=tele0,
+                                    tie_probe=0.0)
+        np.testing.assert_array_equal(got0, oracle)
+        assert tele0["path"] != "fallback:tie-density"
+        assert tele0["uncertain_frac"] is not None
+
+    def test_tie_probe_no_trigger_on_production_class(self):
+        """Continuous distinct-channel affinities have ~zero exact arc
+        collisions: the probe must NOT reroute the certifiable regime."""
+        for s in range(3):
+            aff, coords, mask = prod_case(seed=s)
+            tele = {}
+            exact_affinity_flood(aff, coords, mask, telemetry=tele)
+            assert tele["tie_frac"] <= 0.02, tele
+            assert tele["path"] in ("certified", "repaired"), tele
 
 
 class TestExactImageFlood:
@@ -161,10 +193,17 @@ class TestExactImageFlood:
         tele = {}
         got = exact_image_flood(image, markers, mask, telemetry=tele)
         np.testing.assert_array_equal(got, oracle)
-        # quantised EDT landscapes are tie-heavy: the certificate is
-        # sound but the repair usually detects tie-sensitivity and
-        # falls back — exactness is the contract either way
-        assert 0.0 < tele["uncertain_frac"] < 0.5
+        # quantised EDT landscapes are tie-heavy: the tie probe (or,
+        # with the probe off, the repair's tie-sensitivity detection)
+        # routes to the host flood — exactness is the contract either way
+        assert tele["path"].startswith("fallback:"), tele
+        assert tele["tie_frac"] > 0.02
+        # with the probe disabled the full certificate telemetry returns
+        tele0 = {}
+        got0 = exact_image_flood(image, markers, mask, telemetry=tele0,
+                                 tie_probe=0.0)
+        np.testing.assert_array_equal(got0, oracle)
+        assert 0.0 < tele0["uncertain_frac"] < 0.5
 
     def test_certificate_soundness_image(self):
         from test_device_flood import edt_case
@@ -209,6 +248,7 @@ class TestDoGExactFlood:
         np.testing.assert_array_equal(labels_dev, labels_host)
         assert prof["flood_exact_path"] in (
             "certified", "repaired", "fallback:unresolved",
+            "fallback:tie-density",
         )
 
     def test_segment_bit_exact_more_seeds(self):
@@ -294,8 +334,10 @@ class TestPipelineExactFlood:
         labels_host = host._finalize(shape, outs)
         labels_dev = dev._finalize(shape, outs, profile=prof)
         np.testing.assert_array_equal(labels_dev, labels_host)
-        # telemetry: the per-run fidelity signal
+        # telemetry: the per-run fidelity signal (continuous prod-like
+        # affinities: the tie probe must not trip, the certificate runs)
         assert "flood_uncertain_frac" in prof
+        assert "flood_tie_frac" in prof
         assert prof["flood_exact_path"] in (
             "certified", "repaired", "fallback:unresolved",
         )

@@ -69,6 +69,23 @@ class TestMicrobatch:
         _mock_link(monkeypatch, thr - 1)
         assert _pick_batch_size(32, self.CHUNK, 5) == 8
 
+    def test_mid_band_link_keeps_b8(self, monkeypatch):
+        """The 61–186 MB/s mid-band (VERDICT r4 #7): the makespan model
+        has its single crossover at the derived 186 MB/s — B=16's 45 ms
+        compute saving never covers its extra 8.375 MB fill upload
+        below it, so a 120 MB/s host must still pick B=8."""
+        _mock_link(monkeypatch, 120.0)
+        assert _pick_batch_size(32, self.CHUNK, 5) == 8
+
+    def test_threshold_is_the_derived_crossover(self):
+        """Pin the derivation itself: threshold == fill bytes / compute
+        saving == 8.375 MB / (0.55 s − 0.505 s), the on-chip measured
+        constants (linkprobe module docstring)."""
+        derived = 8.375 / (0.55 - 0.505)
+        assert abs(
+            linkprobe.MEASURED["microbatch_threshold_mbps"] - derived
+        ) < 1.0
+
     def test_small_chunk_counts_unaffected(self, monkeypatch):
         _mock_link(monkeypatch, 1000.0)
         assert _pick_batch_size(4, self.CHUNK, 5) == 4
