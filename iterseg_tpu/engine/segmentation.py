@@ -369,6 +369,7 @@ def dog_blob_watershed_for_chunks(
     use_device_pipeline=True,
     device_flood=False,
     flood_telemetry=False,
+    device_normalize=False,
     profile=None,
     **kwargs,
 ):
@@ -401,7 +402,8 @@ def dog_blob_watershed_for_chunks(
         # semantics are the affinity heap's; no image-flood certificate
         # yet) — accepted here so configs stay uniform, ignored
         pipeline_cache[key].segment(input_volume, out=current_output,
-                                    profile=profile)
+                                    profile=profile,
+                                    normalize=bool(device_normalize))
         return
     input_volume = np.pad(input_volume, pad_width=1)
     dog = dog_image(input_volume, min_sigma, max_sigma)
@@ -893,11 +895,16 @@ def segment_single_volume(input_volume, chunk_size, config, margin,
     """
     raw = np.asarray(input_volume)
     original_shape = raw.shape
+    device_pipeline_ready = (
+        (processing_function is affinity_watershed_for_chunks
+         and config.get("unet") is not None
+         and getattr(config.get("output_volume"), "shape", (0,))[0] == 5)
+        or (processing_function is dog_blob_watershed_for_chunks
+            and "min_sigma" in config)
+    )
     integer_wire = (
-        processing_function is affinity_watershed_for_chunks
+        device_pipeline_ready
         and config.get("use_device_pipeline", True)
-        and config.get("unet") is not None
-        and getattr(config.get("output_volume"), "shape", (0,))[0] == 5
         and np.issubdtype(raw.dtype, np.integer)
         and raw.dtype.itemsize <= 4
     )

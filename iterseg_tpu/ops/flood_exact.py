@@ -51,11 +51,22 @@ found a false-accept; docs/exact_flood.md records the episode.)
 ``exact_affinity_flood`` / ``exact_image_flood`` (the skimage-watershed
 heap of the DoG path — same machinery, node-keyed weights and seeds at
 their own image value) return labels plus a telemetry dict (uncertain
-fraction, path taken) — the per-run fidelity signal the approximate
-``device_flood`` modes lack.  Measured uncertainty: 0–1.1% on
-distinct-channel continuous affinities (certified/repaired, no
-fallback), ~9% on the trained bench checkpoint (saturated sigmoids
-tie), 6–19% on quantised EDT landscapes (unresolved → fallback).
+fraction, tie fraction, path taken) — the per-run fidelity signal the
+approximate ``device_flood`` modes lack.  Measured uncertainty: 0–1.1%
+on distinct-channel continuous affinities (certified/repaired, no
+fallback), ~9% on the trained bench checkpoint (chaotic-plateau
+virtual-time ties — arc ties measure 7e-6 there), 6–19% on quantised
+EDT landscapes (fallback).
+
+Two measured early exits bound the mode's cost on fallback-bound inputs
+(round 5; routing heuristics only — every route is exact):
+``TIE_PROBE_DEFAULT`` skips the whole certificate when exact arc/value
+tie density predicts the tie-driven fallback classes, and
+``REPAIR_DOOM_FRAC`` skips the restricted repair when phase C's
+uncertain fraction is past the measured acceptance band (the
+chaotic-plateau classes no pre-certificate count can see).
+docs/exact_flood.md §4b; calibration in
+benchmarks/tie_probe_calibration.py + cert_phase_profile.py.
 """
 from __future__ import annotations
 
@@ -90,6 +101,20 @@ __all__ = [
 # pass-set; calibration in benchmarks/tie_probe_calibration.py.
 # Performance heuristic only — every routing outcome is still exact.
 TIE_PROBE_DEFAULT = 0.02
+
+# Repair-doom early exit (the second guard): the restricted repair has
+# only ever proven out on small uncertain sets (measured: accepts at
+# <= 1.1% uncertain, rejects at >= 6% — trained-checkpoint 8.7%,
+# quantised EDT 6-19%, chaotic noise 75-97%), because a large uncertain
+# set is exactly the regime where ambiguity survives restriction.  When
+# phase C's uncertain fraction exceeds this, the repair is SKIPPED on
+# device (`lax.cond`) and the run resolves to the host-flood fallback at
+# ~the certificate's cost instead of ~2x it.  The trained-checkpoint
+# class is chaotic-plateau (minimax bottlenecks shared across basins:
+# measured arc-tie density 7e-6 against 8.7% uncertainty on the bench
+# fixture), so no pre-certificate count can predict it — this post-C
+# guard is the cheapest sound cut.  Heuristic only: both routes exact.
+REPAIR_DOOM_FRAC = 0.03
 
 
 def _neighbour_views(arrs, fills):
@@ -393,21 +418,37 @@ def _verified_core(weights, seeds, mask, seed_values, max_iters,
         rep, unc, v_lb, v_ub, conv = _certificate_core(
             weights, seeds, mask_b, seed_values, max_iters, check_every
         )
-        R = unc
-        grow = R
-        for (r_n,) in _neighbour_views([R], [False]):
-            grow = grow | r_n
-        B = grow & ~R & (rep > 0)
-        mask_r = R | B
-        seeds_r = jnp.where(B, rep, 0)
-        rep_r, unc_r, _lb_r, _ub_r, conv_r = _certificate_core(
-            weights, seeds_r, mask_r, v_lb, max_iters, check_every,
-            seed_values_ub=v_ub,
-        )
-        resolved = conv & conv_r & jnp.logical_not(jnp.any(unc_r & R))
-        labels = jnp.where(mask_b, jnp.where(R, rep_r, rep), 0)
-        return (labels.astype(jnp.int32), resolved,
-                jnp.sum(unc).astype(jnp.int32))
+        unc_count = jnp.sum(unc).astype(jnp.int32)
+
+        def run_repair(_):
+            R = unc
+            grow = R
+            for (r_n,) in _neighbour_views([R], [False]):
+                grow = grow | r_n
+            B = grow & ~R & (rep > 0)
+            mask_r = R | B
+            seeds_r = jnp.where(B, rep, 0)
+            rep_r, unc_r, _lb_r, _ub_r, conv_r = _certificate_core(
+                weights, seeds_r, mask_r, v_lb, max_iters, check_every,
+                seed_values_ub=v_ub,
+            )
+            resolved = conv & conv_r & jnp.logical_not(
+                jnp.any(unc_r & R))
+            labels = jnp.where(mask_b, jnp.where(R, rep_r, rep), 0)
+            return labels.astype(jnp.int32), resolved
+
+        def skip_repair(_):
+            # repair-doom guard (REPAIR_DOOM_FRAC): a large uncertain
+            # set has never proven out — resolve to the fallback at
+            # ~the certificate's cost instead of ~2x it
+            return jnp.zeros(mask_b.shape, jnp.int32), jnp.bool_(False)
+
+        doom = (unc_count.astype(jnp.float32)
+                > jnp.float32(REPAIR_DOOM_FRAC)
+                * n_mask.astype(jnp.float32))
+        labels, resolved = jax.lax.cond(doom, skip_repair, run_repair,
+                                        None)
+        return labels, resolved, unc_count
 
     if ties is None or tie_probe <= 0.0:
         labels, resolved, unc_count = run_certificate(None)

@@ -61,6 +61,33 @@ class TestDoGSegmenter:
         # labels are 0 outside any bright region
         assert labels[vol < 0.02].max() == 0
 
+    def test_dog_integer_wire_3d_bit_identical(self, monkeypatch):
+        """Round-5 integer wire for the DoG 3D route: u16 ships in
+        uint16 with the /max on device, labels BIT-EQUAL to the f32
+        host-normalised route (the affinity twin is in
+        TestAffinityUNetWatershed)."""
+        from iterseg_tpu.engine import device_pipeline
+
+        vol, _ = blobby_volume(shape=(8, 48, 48))
+        vol_u16 = np.round(vol * 65535.0).astype(np.uint16)
+
+        seen = []
+        orig = device_pipeline.DoGPipeline.segment
+
+        def spy(self, volume, **kw):
+            seen.append((np.asarray(volume).dtype, kw.get("normalize")))
+            return orig(self, volume, **kw)
+
+        monkeypatch.setattr(device_pipeline.DoGPipeline, "segment", spy)
+        lab_int = dog_blob_watershed(None, vol_u16, save_dir=None,
+                                     name="dog-u16", debug=True)
+        lab_f32 = dog_blob_watershed(None, vol_u16.astype(np.float32),
+                                     save_dir=None, name="dog-f32",
+                                     debug=True)
+        np.testing.assert_array_equal(lab_int, lab_f32)
+        assert seen[0] == (np.dtype(np.uint16), True), seen
+        assert seen[1] == (np.dtype(np.float32), False), seen
+
     def test_dog_4d_stack_and_warm_restart(self, tmp_path):
         vol, _ = blobby_volume(shape=(8, 48, 48))
         stack = np.stack([vol, vol])
@@ -606,7 +633,8 @@ class TestDeviceFloodCacheKey:
         calls = []
         monkeypatch.setattr(
             dp.DoGPipeline, "segment",
-            lambda self, vol, out=None, profile=None: calls.append(1))
+            lambda self, vol, out=None, profile=None, normalize=False:
+                calls.append(1))
         vol = np.zeros((4, 8, 8), np.float32)
         out = np.zeros((4, 8, 8), np.int32)
         cache = {}
