@@ -342,6 +342,33 @@ class TestPipelineExactFlood:
             "certified", "repaired", "fallback:unresolved",
         )
 
+    def test_finalize_tie_density_exit_bit_exact(self):
+        """Quantised affinities through the PIPELINE's exact mode: the
+        early-dispatched probe routes to the host flood
+        ("fallback:tie-density"), the early-dispatched gather feeds it,
+        and labels stay BIT-EQUAL to the default path."""
+        import jax.numpy as jnp
+
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        shape, outs = self._outs(seed=6)
+        aff_pad, mask_packed, order, n_cand, thresh, cent = outs
+        r = np.random.default_rng(6)
+        aff_q = (r.integers(0, 3, size=aff_pad.shape) / 2.0
+                 ).astype(np.float32)
+        outs_q = (jnp.asarray(aff_q), mask_packed, order, n_cand,
+                  thresh, cent)
+        host = AffinityPipeline(None, cand_capacity=256)
+        dev = AffinityPipeline(None, cand_capacity=256,
+                               device_flood="exact")
+        prof = {}
+        labels_host = host._finalize(shape, outs_q)
+        labels_dev = dev._finalize(shape, outs_q, profile=prof)
+        np.testing.assert_array_equal(labels_dev, labels_host)
+        assert prof["flood_exact_path"] == "fallback:tie-density", prof
+        assert prof["flood_tie_frac"] > 0.02
+        assert "flood_uncertain_frac" not in prof  # cert never ran
+
     def test_finalize_bit_exact_many_seeds(self):
         from iterseg_tpu.engine.device_pipeline import AffinityPipeline
 
