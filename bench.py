@@ -214,14 +214,35 @@ def identity_check(params):
                                   use_device_pipeline=False)
     dog_ok = bool(np.array_equal(dog_dev, cur))
     dog_agree = float((np.asarray(dog_dev) == cur).mean())
+
+    # integer-wire identity ON CHIP (round 5): the u16 public 3D route
+    # (device /max, source-dtype upload) vs the f32 route (host /max) —
+    # the bit-identity argument assumes the TPU's f32 division of the
+    # exactly-converted integers matches numpy's; this asserts it on
+    # the hardware every bench run rather than only on the CPU mesh
+    from iterseg_tpu.engine.segmentation import affinity_unet_watershed
+    from iterseg_tpu.models.convert import save_checkpoint
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = save_checkpoint(params, os.path.join(td, "wire.npz"))
+        kw = dict(chunk_size=(10, 128, 128), margin=(1, 16, 16),
+                  debug=True)
+        wire_u16 = np.asarray(affinity_unet_watershed(
+            None, v16, None, "wire-u16", ck, **kw))
+        wire_f32 = np.asarray(affinity_unet_watershed(
+            None, v16.astype(np.float32), None, "wire-f32", ck, **kw))
+    wire_ok = bool(np.array_equal(wire_u16, wire_f32))
+
     sys.stderr.write(
         f"identity: affinity={aff_ok} ({aff_agree:.6f}) "
-        f"dog={dog_ok} ({dog_agree:.6f})\n"
+        f"dog={dog_ok} ({dog_agree:.6f}) wire_u16={wire_ok}\n"
     )
     return {
-        "identity_ok": aff_ok and dog_ok,
+        "identity_ok": aff_ok and dog_ok and wire_ok,
         "affinity_identity": aff_ok,
         "dog_identity": dog_ok,
+        "wire_identity": wire_ok,
         "affinity_agreement": round(aff_agree, 6),
         "dog_agreement": round(dog_agree, 6),
     }
@@ -451,6 +472,10 @@ def main():
         "value": round(vps, 1),
         "unit": "voxels/sec",
         "vs_baseline": round(vs, 2),
+        # self-describing estimator: the headline changed in round 5
+        # from the plain 7-run median to this (cross-round comparisons
+        # should use untrimmed_vs_baseline against rounds <= 4)
+        "headline_estimator": "median_of_best_7_of_9_runs",
         # tunnel-weather transparency: this host's shared link throws 10x
         # outlier runs in congested sessions; best run ~= the code's
         # capability, run_seconds shows the session's weather

@@ -87,7 +87,7 @@ def main():
         for o in outs:
             np.asarray(jnp.ravel(o)[:1])
 
-    def timed(name, fn, n_runs=3):
+    def timed(name, fn, n_runs=5):  # >=5-run medians (CLAUDE.md)
         fence(*as_tuple(fn()))  # warm/compile
         ts = []
         for _ in range(n_runs):

@@ -111,12 +111,21 @@ def main():
     for i in range(args.n):
         family, aff, coords, mask = random_case(rng)
         oracle = affinity_flood_py(aff, coords, mask.copy())
-        tele = {}
-        got = exact_affinity_flood(aff, coords, mask, telemetry=tele)
-        if not np.array_equal(got, oracle):
-            print(f"MISMATCH affinity case {i} family={family}")
-            sys.exit(1)
-        paths["aff:" + tele["path"]] += 1
+        # production routing (guards on) AND guards-off: the second run
+        # forces certificate + repair to actually execute on tie-heavy
+        # draws — the regression class whose false-accept this fuzz
+        # caught would otherwise be routed to the host flood before the
+        # repair ever ran (round-5 early exits)
+        for mode, kw in (("", {}),
+                         ("!", {"tie_probe": 0.0, "repair_doom": 0.0})):
+            tele = {}
+            got = exact_affinity_flood(aff, coords, mask,
+                                       telemetry=tele, **kw)
+            if not np.array_equal(got, oracle):
+                print(f"MISMATCH affinity case {i} family={family} "
+                      f"guards={'off' if mode else 'on'}")
+                sys.exit(1)
+            paths[f"aff{mode}:" + tele["path"]] += 1
         fams[family] += 1
         # image flood on a derived EDT-ish landscape every few cases
         if i % 3 == 0:
@@ -127,13 +136,17 @@ def main():
                 markers[tuple(coords.T)] = np.arange(
                     1, len(coords) + 1, dtype=np.int32)
             oracle_i = image_flood_py(image, markers, mask)
-            tele_i = {}
-            got_i = exact_image_flood(image, markers, mask,
-                                      telemetry=tele_i)
-            if not np.array_equal(got_i, oracle_i):
-                print(f"MISMATCH image case {i} family={family}")
-                sys.exit(1)
-            paths["img:" + tele_i["path"]] += 1
+            for mode, kw in (("", {}),
+                             ("!", {"tie_probe": 0.0,
+                                    "repair_doom": 0.0})):
+                tele_i = {}
+                got_i = exact_image_flood(image, markers, mask,
+                                          telemetry=tele_i, **kw)
+                if not np.array_equal(got_i, oracle_i):
+                    print(f"MISMATCH image case {i} family={family} "
+                          f"guards={'off' if mode else 'on'}")
+                    sys.exit(1)
+                paths[f"img{mode}:" + tele_i["path"]] += 1
         if (i + 1) % 20 == 0:
             print(f"{i+1}/{args.n} ok ({time.time()-t0:.0f}s)",
                   flush=True)

@@ -966,6 +966,10 @@ class AffinityPipeline:
         if pre_tie_frac is not None and pre_tie_frac > TIE_PROBE_DEFAULT:
             if profile is not None:
                 profile["flood_tie_frac"] = pre_tie_frac
+                # the async probe measures the PRE-size-filter mask (a
+                # superset); the in-program value below is post-filter —
+                # the scope key keeps the two comparable in telemetry
+                profile["flood_tie_frac_scope"] = "prefilter"
                 profile["flood_exact_path"] = "fallback:tie-density"
             return None
 
@@ -991,6 +995,7 @@ class AffinityPipeline:
         unc_count, n_mask = int(unc_count), int(n_mask)  # fences
         if profile is not None:
             profile["flood_tie_frac"] = float(tie_frac)
+            profile["flood_tie_frac_scope"] = "filtered"
             if unc_count >= 0:
                 profile["flood_uncertain_frac"] = (
                     unc_count / n_mask if n_mask else 0.0
@@ -1490,6 +1495,7 @@ class DoGPipeline:
         unc_count, n_mask = int(unc_count), int(n_mask)  # fences
         if profile is not None:
             profile["flood_tie_frac"] = float(tie_frac)
+            profile["flood_tie_frac_scope"] = "filtered"
             if unc_count >= 0:
                 profile["flood_uncertain_frac"] = (
                     unc_count / n_mask if n_mask else 0.0

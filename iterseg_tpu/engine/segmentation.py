@@ -181,6 +181,18 @@ def affinity_watershed_prep_config(input_volume_layer, unet_or_config_file,
             "flood_telemetry": bool(flood_telemetry)}
 
 
+def _affinity_pipeline_ready(unet, output_volume,
+                             use_device_pipeline=True):
+    """Whether ``affinity_watershed_for_chunks`` will take the
+    device-pipeline fast path.  ONE definition, shared with
+    ``segment_single_volume``'s integer-wire gate — the two must agree,
+    or an integer volume could reach the generic path un-normalised
+    (the generic paths also carry a normalise-on-entry safety net for
+    exactly that drift)."""
+    return (use_device_pipeline and unet is not None
+            and getattr(output_volume, "shape", (0,))[0] == 5)
+
+
 def affinity_watershed_for_chunks(
     input_volume,
     current_output,
@@ -209,9 +221,8 @@ def affinity_watershed_for_chunks(
     """
     if unet is None:
         raise ValueError("unet must not be None")
-    if use_device_pipeline and output_volume is not None and (
-        output_volume.shape[0] == 5
-    ):
+    if _affinity_pipeline_ready(unet, output_volume,
+                                use_device_pipeline):
         from .device_pipeline import AffinityPipeline
 
         if pipeline_cache is None:
@@ -235,6 +246,14 @@ def affinity_watershed_for_chunks(
         return
     if output_volume is None:
         raise ValueError("output_volume must not be None")
+    if device_normalize:
+        # safety net: the caller skipped host normalisation expecting
+        # the device pipeline to /max on device; the generic path needs
+        # the host-normalised f32 volume (same arithmetic — int -> f32
+        # is exact, same f32 division — zero-slice removal already ran
+        # upstream in _prepare_frame)
+        input_volume = input_volume.astype(np.float32)
+        input_volume = input_volume / np.max(input_volume)
     if output_volume.shape[1:] != input_volume.shape:
         # zero-slice removal shrank the frame: the preallocated scratch no
         # longer fits (latent reference bug — a_w_output_volume sizes it
@@ -405,6 +424,11 @@ def dog_blob_watershed_for_chunks(
                                     profile=profile,
                                     normalize=bool(device_normalize))
         return
+    if device_normalize:
+        # safety net (see the affinity twin): host-normalise for the
+        # generic path — identical arithmetic to the device /max
+        input_volume = np.asarray(input_volume).astype(np.float32)
+        input_volume = input_volume / np.max(input_volume)
     input_volume = np.pad(input_volume, pad_width=1)
     dog = dog_image(input_volume, min_sigma, max_sigma)
     mask = dog > threshold
@@ -895,16 +919,17 @@ def segment_single_volume(input_volume, chunk_size, config, margin,
     """
     raw = np.asarray(input_volume)
     original_shape = raw.shape
+    use_dp = config.get("use_device_pipeline", True)
     device_pipeline_ready = (
         (processing_function is affinity_watershed_for_chunks
-         and config.get("unet") is not None
-         and getattr(config.get("output_volume"), "shape", (0,))[0] == 5)
+         and _affinity_pipeline_ready(config.get("unet"),
+                                      config.get("output_volume"),
+                                      use_dp))
         or (processing_function is dog_blob_watershed_for_chunks
-            and "min_sigma" in config)
+            and use_dp and "min_sigma" in config)
     )
     integer_wire = (
         device_pipeline_ready
-        and config.get("use_device_pipeline", True)
         and np.issubdtype(raw.dtype, np.integer)
         and raw.dtype.itemsize <= 4
     )

@@ -88,6 +88,7 @@ __all__ = [
     "exact_affinity_flood",
     "exact_image_flood",
     "TIE_PROBE_DEFAULT",
+    "REPAIR_DOOM_FRAC",
 ]
 
 # Tie-density early exit (the exact mode's worst-case bound): when the
@@ -385,7 +386,8 @@ def _image_ties(values, mask):
 
 
 def _verified_core(weights, seeds, mask, seed_values, max_iters,
-                   check_every, ties=None, tie_probe=0.0):
+                   check_every, ties=None, tie_probe=0.0,
+                   repair_doom=REPAIR_DOOM_FRAC):
     """Certificate + on-device VERIFIED repair (shared by both modes).
 
     Runs the certificate, then re-runs it on the RESTRICTED problem —
@@ -410,6 +412,13 @@ def _verified_core(weights, seeds, mask, seed_values, max_iters,
     ``tie_probe`` the certificate + repair are SKIPPED on device
     (``lax.cond``) and the call returns ``resolved=False,
     unc_count=-1`` at ~the probe's cost; ``tie_probe=0`` disables.
+
+    ``repair_doom``: the post-phase-C guard (module doc at
+    ``REPAIR_DOOM_FRAC``); ``repair_doom=0`` disables it so the repair
+    runs regardless of uncertainty — the fuzz/suite use this to keep
+    the repair itself exercised on tie-heavy inputs (the class whose
+    false-accept forced the proven acceptance; with the guard on, such
+    draws would route to the fallback before the repair ever ran).
     """
     mask_b = mask.astype(bool)
     n_mask = jnp.sum(mask_b).astype(jnp.int32)
@@ -443,8 +452,11 @@ def _verified_core(weights, seeds, mask, seed_values, max_iters,
             # ~the certificate's cost instead of ~2x it
             return jnp.zeros(mask_b.shape, jnp.int32), jnp.bool_(False)
 
+        if repair_doom <= 0.0:
+            labels, resolved = run_repair(None)
+            return labels, resolved, unc_count
         doom = (unc_count.astype(jnp.float32)
-                > jnp.float32(REPAIR_DOOM_FRAC)
+                > jnp.float32(repair_doom)
                 * n_mask.astype(jnp.float32))
         labels, resolved = jax.lax.cond(doom, skip_repair, run_repair,
                                         None)
@@ -468,36 +480,45 @@ def _verified_core(weights, seeds, mask, seed_values, max_iters,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "check_every", "tie_probe")
+    jax.jit,
+    static_argnames=("max_iters", "check_every", "tie_probe",
+                     "repair_doom"),
 )
 def verified_exact_flood_jit(affinities, seeds, mask, max_iters=1024,
-                             check_every=8, tie_probe=0.0):
+                             check_every=8, tie_probe=0.0,
+                             repair_doom=REPAIR_DOOM_FRAC):
     """Fully device-resident exact affinity flood: certificate +
     verified restricted repair.  Returns ``(labels, resolved,
     unc_count, n_mask, tie_frac)`` — labels are the heap's bit-for-bit
     when ``resolved``; otherwise the caller must run the exact host
     flood.  ``tie_probe > 0`` arms the on-device early exit
-    (``unc_count == -1`` marks a probe skip)."""
+    (``unc_count == -1`` marks a probe skip); ``repair_doom=0``
+    disables the post-phase-C repair guard (see ``_verified_core``)."""
     mask_b = mask.astype(bool)
     weights = _edge_weights(affinities, mask.ndim)
     ties = (_affinity_ties(weights, mask_b) if tie_probe > 0.0
             else None)
     return _verified_core(weights, seeds, mask_b, 0.0, max_iters,
-                          check_every, ties=ties, tie_probe=tie_probe)
+                          check_every, ties=ties, tie_probe=tie_probe,
+                          repair_doom=repair_doom)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "check_every", "tie_probe")
+    jax.jit,
+    static_argnames=("max_iters", "check_every", "tie_probe",
+                     "repair_doom"),
 )
 def verified_exact_image_flood_jit(values, seeds, mask, max_iters=1024,
-                                   check_every=8, tie_probe=0.0):
+                                   check_every=8, tie_probe=0.0,
+                                   repair_doom=REPAIR_DOOM_FRAC):
     """Image-watershed twin of ``verified_exact_flood_jit``."""
     mask_b = mask.astype(bool)
     values = values.astype(jnp.float32)
     weights = [values] * (2 * mask.ndim)
     ties = (_image_ties(values, mask_b) if tie_probe > 0.0 else None)
     return _verified_core(weights, seeds, mask_b, values, max_iters,
-                          check_every, ties=ties, tie_probe=tie_probe)
+                          check_every, ties=ties, tie_probe=tie_probe,
+                          repair_doom=repair_doom)
 
 
 def _full_host_flood(affinities, marker_coords, mask):
@@ -524,7 +545,8 @@ def _fill_telemetry(tele, resolved, unc_count, n_mask, tie_frac):
 
 
 def exact_affinity_flood(affinities, marker_coords, mask,
-                         telemetry=None, tie_probe=TIE_PROBE_DEFAULT):
+                         telemetry=None, tie_probe=TIE_PROBE_DEFAULT,
+                         repair_doom=REPAIR_DOOM_FRAC):
     """Labels bit-equal to the exact heap flood
     (``watershed_oracle.affinity_flood_py`` semantics), via the
     device-resident certificate + verified restricted repair; falls back
@@ -548,6 +570,7 @@ def exact_affinity_flood(affinities, marker_coords, mask,
             jnp.asarray(np.asarray(affinities, np.float32)),
             jnp.asarray(seeds), jnp.asarray(mask),
             tie_probe=float(tie_probe),
+            repair_doom=float(repair_doom),
         )
     )
     if _fill_telemetry(tele, resolved, unc_count, n_mask, tie_frac):
@@ -556,7 +579,8 @@ def exact_affinity_flood(affinities, marker_coords, mask,
 
 
 def exact_image_flood(values, markers_or_coords, mask, telemetry=None,
-                      tie_probe=TIE_PROBE_DEFAULT):
+                      tie_probe=TIE_PROBE_DEFAULT,
+                      repair_doom=REPAIR_DOOM_FRAC):
     """Image-watershed twin of :func:`exact_affinity_flood`: labels
     bit-equal to ``watershed_oracle.image_flood_py`` / the exact host
     image flood."""
@@ -577,6 +601,7 @@ def exact_image_flood(values, markers_or_coords, mask, telemetry=None,
         verified_exact_image_flood_jit(
             jnp.asarray(values_np), jnp.asarray(markers),
             jnp.asarray(mask), tie_probe=float(tie_probe),
+            repair_doom=float(repair_doom),
         )
     )
     if _fill_telemetry(tele, resolved, unc_count, n_mask, tie_frac):

@@ -67,8 +67,12 @@ def test_fuzz_subset_affinity_bit_exact():
 
 def test_fuzz_subset_certificate_on_tie_heavy_families():
     """The regression class the fuzz originally caught: certificate +
-    verified repair on massed exact ties (probe disabled so they RUN).
-    A false-accepting repair shows up here as a bit mismatch."""
+    verified repair on massed exact ties, with BOTH routing guards
+    disabled (``tie_probe=0`` skips the probe, ``repair_doom=0`` forces
+    the repair to actually run past phase C's huge uncertain sets — with
+    the guards on, these draws would route to the host flood before the
+    repair ever executed and a false-accepting repair would be
+    invisible).  A false accept shows up here as a bit mismatch."""
     rng = np.random.default_rng(77)
     ran_cert = 0
     for _ in range(8):
@@ -78,7 +82,7 @@ def test_fuzz_subset_certificate_on_tie_heavy_families():
         oracle = affinity_flood_py(aff, coords, mask.copy())
         tele = {}
         got = exact_affinity_flood(aff, coords, mask, telemetry=tele,
-                                   tie_probe=0.0)
+                                   tie_probe=0.0, repair_doom=0.0)
         np.testing.assert_array_equal(got, oracle)
         assert tele["path"] != "fallback:tie-density"
         ran_cert += 1
@@ -102,6 +106,8 @@ def test_fuzz_subset_image_bit_exact():
         oracle = image_flood_py(image, markers, mask)
         got = exact_image_flood(image, markers, mask)
         np.testing.assert_array_equal(got, oracle, err_msg=f"draw {i}")
-    # one probe-off draw exercises the image certificate on ties
-    got0 = exact_image_flood(image, markers, mask, tie_probe=0.0)
+    # one guards-off draw exercises the image certificate AND repair on
+    # ties (see the affinity twin above for why both guards must be off)
+    got0 = exact_image_flood(image, markers, mask, tie_probe=0.0,
+                             repair_doom=0.0)
     np.testing.assert_array_equal(got0, oracle)
