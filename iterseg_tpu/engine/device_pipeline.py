@@ -277,6 +277,47 @@ def _cached_tie_probe(pshape):
     return _GATHER_CACHE[key]
 
 
+class _Speculative:
+    """Run ``fn(profile_dict)`` on a worker thread; ``join`` returns
+    ``(result, profile_dict)`` or re-raises the thread's exception.
+
+    Used by ``device_flood="exact"`` to overlap the exact host flood
+    under the certificate fence: while the main thread blocks on the
+    device program's scalars (a GIL-released wait through the link), the
+    worker consumes the already-in-flight gather download and runs the
+    C++ flood — so a fallback costs ~max(certificate, host flood)
+    instead of their sum.  The worker touches only its own buffers plus
+    the pipeline's scatter buffer (which the main thread never reads in
+    exact mode), and the caller always joins before returning, so no
+    state outlives the call."""
+
+    def __init__(self, fn):
+        import threading
+
+        self._prof = {}
+        self._result = None
+        self._exc = None
+
+        def run():
+            try:
+                self._result = fn(self._prof)
+            except BaseException as e:  # re-raised on join
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=run, name="iterseg-speculative-flood", daemon=True
+        )
+
+    def start(self):
+        self._thread.start()
+
+    def join(self):
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._result, self._prof
+
+
 def _cached_exact_flood(pshape, cap, wide):
     """Device program for ``device_flood="exact"``: unpack the filtered
     mask bits + scatter seeds (as ``_cached_flood_prep``), then run the
@@ -712,6 +753,12 @@ class AffinityPipeline:
         # roughly one extra device pass-set per volume; "exact" mode
         # reports it inherently.
         self.flood_telemetry = bool(flood_telemetry)
+        # exact mode's speculative host flood (overlap under the
+        # certificate fence — see ``_flood_exact``); public so the
+        # paired A/B probe (benchmarks/spec_overlap_probe.py) and any
+        # single-core-host caller can opt out. Labels are identical
+        # either way (both halves are exact).
+        self.speculative_flood = True
         self._programs = {}
         # (pshape, buffer): the most-recent shape's scatter buffer only —
         # ragged 4D stacks would otherwise pin ~200 MB per distinct shape
@@ -937,21 +984,31 @@ class AffinityPipeline:
         return labels
 
     def _flood_exact(self, aff_pad, mask_pad, centroids, out=None,
-                     profile=None, pre_tie_frac=None):
+                     profile=None, pre_tie_frac=None, gather=None):
         """``device_flood="exact"``: the fully device-resident verified
         exact flood (``ops/flood_exact``) — labels BIT-EQUAL to the
         exact host heap, PROVEN per run (certificate + restricted-repair
         verification; docs/exact_flood.md).  One device program; only
         wire-dtype labels + three scalars come back.  Returns cropped
-        int32 labels, or ``None`` when some ambiguity survives even
-        locally (caller falls back to the exact host flood — exactness
-        never regresses; the path is recorded in ``profile``).
+        int32 labels, or ``None`` when the pre-dispatch tie probe (or a
+        caller without ``gather``) routes to the exact host flood —
+        exactness never regresses; the path is recorded in ``profile``.
 
         ``pre_tie_frac``: the early-dispatched probe's tie density
         (``_cached_tie_probe``) — above the threshold the certificate is
         doomed to the unresolved fallback, so the mode returns ``None``
         immediately, bounding its worst-case overhead to ~the probe cost
-        (which itself hid under the host filter work)."""
+        (which itself hid under the host filter work).
+
+        ``gather``: the early-dispatched ``(pre_idx, m, vals_dev)``
+        affinity gather.  When given, the exact host flood runs
+        SPECULATIVELY on a worker thread underneath the certificate
+        fence (``_Speculative``): the device program's ~seconds of
+        compute and the host heap's ~seconds of CPU overlap, so the
+        unresolved/doomed fallback costs ~max of the two instead of
+        their sum, and a resolved certificate merely wastes host cycles
+        that were otherwise idle.  Both results are proven bit-equal, so
+        the choice never changes labels."""
         import time as _time
 
         from ..ops.flood_exact import TIE_PROBE_DEFAULT
@@ -992,6 +1049,31 @@ class AffinityPipeline:
             lab_dev.copy_to_host_async()
         except AttributeError:
             pass
+        spec = None
+        if gather is not None:
+            pre_idx, m, vals_dev = gather
+            spec = _Speculative(
+                lambda prof: self._host_flood(
+                    pre_idx, m, vals_dev, mask_pad, centroids,
+                    out=None, profile=prof,
+                )
+            )
+            spec.start()
+
+        def take_speculative():
+            labels, sprof = spec.join()
+            if profile is not None:
+                profile["flood_speculative"] = True
+                for k, v in sprof.items():
+                    profile[k] = profile.get(k, 0.0) + v
+            if out is not None:
+                output = out
+                output[:] = 0
+                view = output.reshape(pshape)[1:-1, 1:-1, 1:-1]
+                view[:] = labels
+                return view
+            return labels
+
         unc_count, n_mask = int(unc_count), int(n_mask)  # fences
         if profile is not None:
             profile["flood_tie_frac"] = float(tie_frac)
@@ -1006,11 +1088,11 @@ class AffinityPipeline:
             # mode's worst case; ops/flood_exact.TIE_PROBE_DEFAULT)
             if profile is not None:
                 profile["flood_exact_path"] = "fallback:tie-density"
-            return None
+            return take_speculative() if spec is not None else None
         if not bool(resolved):
             if profile is not None:
                 profile["flood_exact_path"] = "fallback:unresolved"
-            return None
+            return take_speculative() if spec is not None else None
         if profile is not None:
             profile["flood_exact_path"] = (
                 "certified" if unc_count == 0 else "repaired"
@@ -1018,6 +1100,15 @@ class AffinityPipeline:
         t0 = tick("device_flood", t0)
         labels = np.asarray(lab_dev).astype(np.int32)
         tick("download_labels", t0)
+        if spec is not None:
+            # certified/repaired: the speculative flood's labels are
+            # proven equal — join for hygiene, keep the device result
+            t0 = _time.perf_counter()
+            _unused, sprof = spec.join()
+            if profile is not None:
+                profile["flood_spec_waited"] = (
+                    _time.perf_counter() - t0
+                )
         if out is not None:
             output = out
             output[:] = 0
@@ -1199,6 +1290,8 @@ class AffinityPipeline:
                         profile=profile,
                         pre_tie_frac=(float(probe_dev)
                                       if probe_dev is not None else None),
+                        gather=((pre_idx, m, vals_dev)
+                                if self.speculative_flood else None),
                     )
                 else:
                     labels = self._flood_on_device(
@@ -1208,15 +1301,38 @@ class AffinityPipeline:
                 if labels is not None:
                     return labels
                 # fallback: the wavefront flood did not converge within
-                # max_iters, or the exact mode routed to the host flood
-                # (tie density / unresolved repair) — in exact mode the
+                # max_iters, or the exact mode's pre-dispatch tie probe
+                # routed straight to the host flood — in exact mode the
                 # gather is already downloading from the early dispatch
+                # (the post-dispatch exact fallbacks return speculative
+                # labels above and never reach here)
             if self.device_flood != "exact":
                 pre_idx, m, capacity, idx_up, vals_dev = (
                     self._dispatch_gather(aff_pad, mask_pad)
                 )
                 t0 = tick("gather_dispatch", t0)
 
+        return self._host_flood(pre_idx, m, vals_dev, mask_pad,
+                                centroids, out=out, profile=profile)
+
+    def _host_flood(self, pre_idx, m, vals_dev, mask_pad, centroids,
+                    out=None, profile=None):
+        """The exact host-heap half: download the masked affinity
+        gather, scatter into the reused host buffer, seed the markers
+        and run the C++ priority flood (pure-python oracle fallback).
+        Returns cropped int32 labels.  Also runs as the SPECULATIVE body
+        ``_flood_exact`` overlaps under the certificate fence (then with
+        ``out=None``: the caller copies into ``out`` after the join)."""
+        import time as _time
+
+        def tick(name, t0):
+            if profile is not None:
+                profile[name] = profile.get(name, 0.0) + (
+                    _time.perf_counter() - t0
+                )
+            return _time.perf_counter()
+
+        t0 = _time.perf_counter()
         vals = np.asarray(vals_dev)[:, :m]
         t0 = tick("gather_affinities", t0)
 

@@ -392,6 +392,61 @@ class TestPipelineExactFlood:
         b = dev._finalize(shape, outs, out=out)
         np.testing.assert_array_equal(a, b)
 
+    def _plateau_outs(self, shape=(8, 24, 24), seed=11):
+        """Chaotic-plateau fixture (the trained-checkpoint bench class):
+        distinct random arcs everywhere except a small exact-0.9 gate
+        box around each seed — arc-tie density stays under the probe
+        threshold, but every voxel's minimax virtual time collapses to
+        the shared 0.9 bottleneck, so phase C's uncertainty blows past
+        the repair-doom band and the mode must take the host-flood
+        fallback WITH the speculative overlap."""
+        import jax.numpy as jnp
+
+        r = np.random.default_rng(seed)
+        pshape = tuple(s + 2 for s in shape)
+        aff = (0.1 + 0.4 * r.random((3,) + shape)).astype(np.float32)
+        seeds = np.array([[4, 6, 6], [4, 17, 17]])
+        for z, y, x in seeds:
+            aff[:, z - 1:z + 2, y - 1:y + 2, x - 1:x + 2] = 0.9
+        mask = np.ones(shape, bool)
+        mask[:, :2, :] = False
+        aff_pad = np.zeros((3,) + pshape, np.float32)
+        aff_pad[:, 1:-1, 1:-1, 1:-1] = aff
+        order = np.zeros(256, np.int64)
+        flat = np.ravel_multi_index(tuple(seeds.T), shape)
+        order[:len(flat)] = flat
+        outs = (jnp.asarray(aff_pad),
+                jnp.asarray(np.packbits(mask.ravel())),
+                jnp.asarray(order), jnp.int32(len(flat)),
+                jnp.float32(0.0),
+                jnp.asarray(np.zeros(shape, np.float32)))
+        return shape, outs
+
+    def test_finalize_speculative_fallback_bit_exact(self):
+        """The unresolved/doomed certificate must resolve through the
+        SPECULATIVE host flood started under the fence — labels
+        bit-equal to the default path, telemetry records the overlap."""
+        from iterseg_tpu.engine.device_pipeline import AffinityPipeline
+
+        shape, outs = self._plateau_outs()
+        host = AffinityPipeline(None, cand_capacity=256)
+        dev = AffinityPipeline(None, cand_capacity=256,
+                               device_flood="exact")
+        prof = {}
+        labels_host = host._finalize(shape, outs)
+        labels_dev = dev._finalize(shape, outs, profile=prof)
+        np.testing.assert_array_equal(labels_dev, labels_host)
+        assert prof["flood_exact_path"] == "fallback:unresolved", prof
+        assert prof.get("flood_speculative") is True, prof
+        # the probe must NOT have tripped (the whole point of the
+        # chaotic-plateau class): the certificate ran and measured
+        assert prof["flood_tie_frac"] <= 0.02, prof
+        assert "flood" in prof and "gather_affinities" in prof
+        # and through the out= buffer path too
+        out = np.zeros(int(np.prod([s + 2 for s in shape])), np.int32)
+        labels_out = dev._finalize(shape, outs, out=out)
+        np.testing.assert_array_equal(labels_out, labels_host)
+
     def test_approximate_mode_telemetry(self):
         """flood_telemetry=True on an APPROXIMATE device_flood mode
         reports the certificate's uncertain fraction — a rigorous bound
